@@ -81,6 +81,7 @@ def test_video_swin_tiny_pyramid_shapes():
     out = model.apply(params, x)
     assert out["0"].shape == (1, 4, 4, 4, 8)
     assert out["1"].shape == (1, 4, 2, 2, 16)
+    assert out["3"].shape == (1, 4, 1, 1, 64)  # stride 32, matches ResNet
 
 
 def test_video_swin_odd_spatial_dims():

@@ -1,0 +1,49 @@
+"""Prediction post-processing (pure jnp).
+
+Parity with ``PostProcess`` (/root/reference/vgqa/core/postprocessor.py:10-50):
+boxes are rescaled cxcywh->xyxy into original pixel space, and the temporal
+span is the argmax of the start+end log-softmax map restricted to the
+lower-triangle-excluded (start < end) and valid-frame region. The reference
+builds the map with a Python loop over batch; here it is one masked batched
+computation.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.boxes import box_cxcywh_to_xyxy
+
+NEG = -1e32
+
+
+def postprocess(
+    pred_boxes: jnp.ndarray,   # [V, T, 4] cxcywh in [0, 1]
+    pred_sted: jnp.ndarray,    # [V, T, 2] logits
+    target_sizes: jnp.ndarray,  # [V, 2] (h, w) original pixels
+    time_mask: jnp.ndarray,    # [V, T] bool
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (boxes_xyxy [V, T, 4], start_idx [V], end_idx [V])."""
+    boxes = box_cxcywh_to_xyxy(pred_boxes)
+    h = target_sizes[:, 0:1]
+    w = target_sizes[:, 1:2]
+    scale = jnp.concatenate([w, h, w, h], axis=-1)[:, None, :]
+    boxes = jnp.clip(boxes * scale, 0.0)
+
+    V, T, _ = pred_sted.shape
+    sted = jnp.where(time_mask[..., None], pred_sted.astype(jnp.float32), NEG)
+    start_lp = jax.nn.log_softmax(sted[..., 0], axis=-1)  # [V, T]
+    end_lp = jax.nn.log_softmax(sted[..., 1], axis=-1)
+    prob_map = start_lp[:, :, None] + end_lp[:, None, :]   # [V, Ts, Te]
+
+    idx = jnp.arange(T)
+    valid = (idx[:, None] < idx[None, :])                  # start < end
+    valid = valid & time_mask[:, :, None] & time_mask[:, None, :]
+    prob_map = jnp.where(valid, prob_map, NEG)
+
+    flat = prob_map.reshape(V, T * T)
+    best = jnp.argmax(flat, axis=-1)
+    return boxes, best // T, best % T

@@ -71,6 +71,9 @@ class RobertaModel(nn.Module):
 
         Returns (hidden [V, L, H], pooled [V, H])."""
         c = self.cfg
+        # out-of-range ids produce backend-dependent garbage (NaN on CPU);
+        # clamp so a vocab/tokenizer mismatch degrades instead of poisoning
+        token_ids = jnp.clip(token_ids, 0, c.vocab_size - 1)
         word = nn.Embed(c.vocab_size, c.hidden_size, name="word_embeddings")(token_ids)
         # RoBERTa position ids: pad positions keep pad_token_id; real tokens
         # count up from pad_token_id + 1 (HF create_position_ids_from_input_ids)

@@ -249,9 +249,10 @@ class VideoSwinConfig:
 
     @classmethod
     def tiny_test(cls) -> "VideoSwinConfig":
-        """Small config for unit tests (not in the reference)."""
-        return cls(embed_dim=8, depths=(1, 1), num_heads=(2, 2), window=(2, 2, 2),
-                   drop_path_rate=0.0)
+        """Small config for unit tests (not in the reference). Keeps 4 stages
+        so the final stage sits at stride 32, aligned with ResNet layer4."""
+        return cls(embed_dim=8, depths=(1, 1, 1, 1), num_heads=(2, 2, 2, 2),
+                   window=(2, 2, 2), drop_path_rate=0.0)
 
 
 # parity with the reference model zoo (video_swin_transformer.py:688-734)

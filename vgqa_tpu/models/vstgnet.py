@@ -1,0 +1,283 @@
+"""VSTGNet — the full spatio-temporal video grounding model.
+
+TPU-native re-design of /root/reference/vgqa/core/grounding_net.py:36-204.
+Key structural differences, all driven by XLA's static-shape compilation
+model:
+
+* Data-dependent frame selection (``torch.nonzero(att > theta)`` with list
+  fallback, grounding_net.py:125-128) becomes a boolean ``select_mask`` with
+  the same semantics: frames above theta, else every valid frame. All
+  downstream "gather selected frames then mean" ops become masked means —
+  identical math, fixed shapes.
+* The inference-time re-selection + re-decode (grounding_net.py:143-163) is
+  a static second pass taken when ``train=False`` (a Python-level branch, so
+  each mode compiles once).
+* Subject prepending and verb/attribute label lookup from annotation JSONs
+  happen in the *data pipeline*, not inside the model (the reference loads
+  ``DATA_DIR/annos/{train,test}.json`` in the module and indexes them per
+  step, grounding_net.py:84-85,108-110); the model consumes tensors only.
+* Keyframe precision/recall (grounding_net.py:200-202) is a host-side metric
+  computed by the evaluator from the returned ``select_mask``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.position_encoding import sine_position_2d
+from ..utils.containers import TextBatch, VideoBatch
+from .decoder import QueryDecoder
+from .encoder import CrossModalEncoder, SpatialActivation, TemporalSampling
+from .layers import MLP
+from .resnet import build_resnet, downsample_mask
+from .roberta import RobertaConfig, TextEncoder
+from .video_swin import VIDEO_SWIN_CONFIGS, VideoSwinBackbone, VideoSwinConfig
+
+
+@dataclass(frozen=True)
+class GroundingConfig:
+    hidden: int = 256
+    heads: int = 8
+    enc_layers: int = 6
+    dec_layers: int = 6
+    ffn_dim: int = 2048
+    dropout: float = 0.1
+    theta: float = 0.45              # frame-selection threshold (grounding_net.py:86)
+    app_num: int = 20                # appearance vocab (DATASET.APP_NUM)
+    mot_num: int = 34                # motion vocab (DATASET.MOT_NUM)
+    video_max_len: int = 200
+    use_learned_time_embed: bool = False
+    resnet: str = "resnet101"
+    resnet_dilation: bool = False
+    swin: str = "video_swin_t_p4w7"  # "" disables the Swin tower (stub conv)
+    swin_feature_dim: int = 768
+    freeze_swin: bool = True
+    freeze_text: bool = False
+    text: RobertaConfig = field(default_factory=RobertaConfig)
+    use_aux_loss: bool = True
+
+    @classmethod
+    def from_cfg(cls, cfg) -> "GroundingConfig":
+        m = cfg.MODEL
+        text = RobertaConfig()
+        if m.TEXT_MODEL.NUM_LAYERS:  # shrunken tower for tests
+            text = RobertaConfig.tiny()
+        return cls(
+            hidden=m.VSTG.HIDDEN,
+            heads=m.VSTG.HEADS,
+            enc_layers=m.VSTG.ENC_LAYERS,
+            dec_layers=m.VSTG.DEC_LAYERS,
+            ffn_dim=m.VSTG.FFN_DIM,
+            dropout=m.VSTG.DROPOUT,
+            app_num=cfg.DATASET.APP_NUM,
+            mot_num=cfg.DATASET.MOT_NUM,
+            video_max_len=cfg.INPUT.MAX_VIDEO_LEN,
+            use_learned_time_embed=m.VSTG.USE_LEARN_TIME_EMBED,
+            resnet=m.VISION_BACKBONE.NAME,
+            resnet_dilation=m.VISION_BACKBONE.DILATION,
+            swin=m.VIDEO_SWIN.MODEL_NAME if m.VIDEO_SWIN.ENABLED else "",
+            swin_feature_dim=m.VIDEO_SWIN.FEATURE_DIM,
+            freeze_swin=m.VIDEO_SWIN.FREEZE,
+            freeze_text=m.TEXT_MODEL.FREEZE,
+            text=text,
+            use_aux_loss=cfg.SOLVER.USE_AUX_LOSS,
+        )
+
+    @classmethod
+    def tiny_test(cls) -> "GroundingConfig":
+        return cls(
+            hidden=32, heads=4, enc_layers=2, dec_layers=2, ffn_dim=64,
+            resnet="resnet_test", swin="video_swin_test", swin_feature_dim=64,
+            text=RobertaConfig.tiny(), app_num=5, mot_num=7,
+        )
+
+
+class SwinStub(nn.Module):
+    """Cheap stride-32 patch tower standing in for Video Swin (the reference
+    keeps Swin frozen, grounding_net.py:73-75, so a stub preserves the
+    pipeline topology for the minimum end-to-end slice)."""
+
+    feature_dim: int
+
+    @nn.compact
+    def __call__(self, frames: jnp.ndarray) -> jnp.ndarray:
+        V, T, H, W, _ = frames.shape
+        x = frames.reshape(V * T, H, W, 3)
+        x = nn.Conv(
+            self.feature_dim, (32, 32), strides=(32, 32), padding="VALID",
+            name="patch",
+        )(x)
+        x = nn.LayerNorm(name="norm")(x)
+        return x.reshape(V, T, x.shape[1], x.shape[2], self.feature_dim)
+
+
+def masked_mean(x: jnp.ndarray, mask: jnp.ndarray, axes) -> jnp.ndarray:
+    """Mean of x over `axes`, counting only mask=True positions."""
+    m = mask.astype(x.dtype)
+    while m.ndim < x.ndim:
+        m = m[..., None]
+    num = (x * m).sum(axes)
+    den = jnp.maximum(jnp.broadcast_to(m, x.shape).sum(axes), 1.0)
+    return num / den
+
+
+class VSTGNet(nn.Module):
+    cfg: GroundingConfig
+
+    def setup(self):
+        c = self.cfg
+        self.vis_encoder = build_resnet(c.resnet, c.resnet_dilation)
+        if c.swin:
+            self.vid = VideoSwinBackbone(
+                VIDEO_SWIN_CONFIGS[c.swin], name="vid"
+            )
+        else:
+            self.vid = SwinStub(c.swin_feature_dim, name="vid_stub")
+        self.text_encoder = TextEncoder(c.text, out_dim=c.hidden,
+                                        freeze=c.freeze_text)
+        self.input_proj = nn.Dense(c.hidden, name="input_proj")
+        self.input_proj2 = nn.Dense(c.hidden, name="input_proj2")
+        self.ground_encoder = CrossModalEncoder(
+            c.enc_layers, c.heads, c.ffn_dim, c.dropout, name="ground_encoder"
+        )
+        self.s_temporal_clas = TemporalSampling(name="s_temporal_clas")
+        self.t_temporal_clas = TemporalSampling(name="t_temporal_clas")
+        self.s_spatial_clas = SpatialActivation(c.app_num, name="s_spatial_clas")
+        self.t_spatial_clas = SpatialActivation(c.mot_num, name="t_spatial_clas")
+        self.ground_decoder = QueryDecoder(
+            c.dec_layers, c.heads, c.ffn_dim, c.dropout, c.video_max_len,
+            c.use_learned_time_embed, name="ground_decoder",
+        )
+        self.temp_embed = MLP(c.hidden, 2, 2, dropout=0.3, name="temp_embed")
+        self.action_embed = MLP(c.hidden, 1, 2, dropout=0.3, name="action_embed")
+
+    def __call__(
+        self,
+        video: VideoBatch,
+        text: TextBatch,
+        train: bool = False,
+    ) -> dict:
+        c = self.cfg
+        deterministic = not train
+        V, T, H, W, _ = video.frames.shape
+
+        # ---- visual towers ------------------------------------------------
+        flat = video.frames.reshape(V * T, H, W, 3)
+        res_feat = self.vis_encoder(flat)                   # [VT, h, w, 2048]
+        h_, w_ = res_feat.shape[1:3]
+        vis_tokens = self.input_proj(res_feat).reshape(V, T, h_ * w_, c.hidden)
+
+        if c.swin:
+            swin_out = self.vid(video.frames, deterministic)[
+                str(len(VIDEO_SWIN_CONFIGS[c.swin].depths) - 1)
+            ]
+        else:
+            swin_out = self.vid(video.frames)
+        if c.freeze_swin:
+            # reference runs Swin under no_grad (grounding_net.py:103-105)
+            swin_out = jax.lax.stop_gradient(swin_out)
+        assert swin_out.shape[2] == h_ and swin_out.shape[3] == w_, (
+            f"tower misalignment: resnet {h_}x{w_} vs swin "
+            f"{swin_out.shape[2]}x{swin_out.shape[3]}"
+        )
+        swin_tokens = self.input_proj2(swin_out).reshape(V, T, h_ * w_, c.hidden)
+
+        feat_mask = downsample_mask(video.pixel_mask, (h_, w_))  # [V, h, w]
+        vis_pos = sine_position_2d(feat_mask, num_pos_feats=c.hidden // 2)
+        vis_pos = vis_pos.reshape(V, h_ * w_, c.hidden).astype(vis_tokens.dtype)
+        vis_mask = feat_mask.reshape(V, h_ * w_)
+
+        # ---- text tower ---------------------------------------------------
+        text_tokens, _text_cls = self.text_encoder(
+            text.token_ids, text.mask, deterministic
+        )
+
+        # ---- cross-modal fusion ------------------------------------------
+        enc = self.ground_encoder(
+            vis_tokens, swin_tokens, text_tokens, vis_pos, vis_mask,
+            text.mask, video.time_mask, deterministic,
+        )
+        hw = enc["hw"]
+        L = enc["text_len"]
+        encoded = enc["encoded"]                             # [V, T, S, d]
+        enc_vis = encoded[:, :, :hw]                         # [V, T, hw, d]
+        enc_swin = encoded[:, :, hw + L :]
+        f_vis = jax.lax.stop_gradient(enc_vis)
+        f_swin = jax.lax.stop_gradient(enc_swin)
+        # per-token text context averaged over frames (grounding_net.py:119)
+        f_text = jax.lax.stop_gradient(
+            masked_mean(encoded[:, :, hw : hw + L], video.time_mask, 1)
+        )                                                    # [V, L, d]
+
+        # ---- text-guided temporal sampling (grounding_net.py:121-128) ----
+        logits_f_m = self.t_temporal_clas(f_swin, f_text, text.mask, deterministic)
+        logits_f_a = self.s_temporal_clas(f_vis, f_text, text.mask, deterministic)
+        att_seq = (jax.nn.sigmoid(logits_f_m) + jax.nn.sigmoid(logits_f_a)) / 2
+
+        def selection_from(scores: jnp.ndarray, thr: float) -> jnp.ndarray:
+            sel = (scores > thr) & video.time_mask
+            has_any = sel.any(axis=-1, keepdims=True)
+            return jnp.where(has_any, sel, video.time_mask)
+
+        select_mask = selection_from(att_seq, c.theta)
+
+        def activation_and_queries(sel_mask):
+            """Attribute-aware spatial activation + dynamic object queries
+            (grounding_net.py:130-136) under a frame mask."""
+            logits_r_m, att_map_t = self.t_spatial_clas(
+                f_swin, f_text[:, :1], sel_mask, deterministic
+            )
+            logits_r_a, att_map_s = self.s_spatial_clas(
+                f_vis, f_text[:, :1], sel_mask, deterministic
+            )
+            itq = masked_mean(enc_swin * att_map_t[..., None], sel_mask, (1, 2))
+            isq = masked_mean(enc_vis * att_map_s[..., None], sel_mask, (1, 2))
+            return logits_r_m, logits_r_a, itq, isq
+
+        logits_r_m, logits_r_a, itq, isq = activation_and_queries(select_mask)
+
+        outputs_pos, outputs_time = self.ground_decoder(
+            enc, isq, itq, video.time_mask, deterministic
+        )
+
+        if not train:
+            # inference-time re-selection from the actioness head and a
+            # second decode (grounding_net.py:143-163)
+            act = jax.nn.sigmoid(
+                self.action_embed(outputs_time[-1], deterministic)[..., 0]
+            )
+            select_mask = selection_from(act, 0.5)
+            logits_r_m, logits_r_a, itq, isq = activation_and_queries(select_mask)
+            outputs_pos, outputs_time = self.ground_decoder(
+                enc, isq, itq, video.time_mask, deterministic
+            )
+
+        # ---- prediction heads (grounding_net.py:165-187) -----------------
+        sted = self.temp_embed(outputs_time, deterministic)      # [nl, V, T, 2]
+        actioness = self.action_embed(outputs_time, deterministic)  # [nl,V,T,1]
+
+        out = {
+            "pred_boxes": outputs_pos[-1],        # [V, T, 4] cxcywh sigmoid
+            "pred_sted": sted[-1],                # [V, T, 2]
+            "pred_actioness": actioness[-1],      # [V, T, 1]
+            "logits_f_m": logits_f_m,             # [V, T]
+            "logits_f_a": logits_f_a,
+            "logits_r_a": logits_r_a,             # [V, app_num]
+            "logits_r_m": logits_r_m,             # [V, mot_num]
+            "att_sequences": att_seq,             # [V, T]
+            "select_mask": select_mask,           # [V, T] (keyframe P/R on host)
+        }
+        if c.use_aux_loss:
+            out["aux_outputs"] = [
+                {
+                    "pred_boxes": outputs_pos[i],
+                    "pred_sted": sted[i],
+                    "pred_actioness": actioness[i],
+                }
+                for i in range(outputs_pos.shape[0] - 1)
+            ]
+        return out
