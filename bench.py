@@ -1,0 +1,103 @@
+"""Benchmark: 64-frame grounding inference end-to-end, clips/sec/chip.
+
+Runs the flagship model (ResNet-101 + Video Swin-T + RoBERTa, 224px, 64
+frames — the reference's default INPUT scale, defaults.py:9-11) through the
+full jitted forward + postprocess in bfloat16, and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": N}.
+
+vs_baseline is measured against the driver's north-star target of
+10 clips/sec/chip (BASELINE.json — the reference publishes no numbers).
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+TARGET_CLIPS_PER_SEC = 10.0  # north-star from /root/repo/BASELINE.json
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vgqa_tpu.config import build_default_cfg
+    from vgqa_tpu.models import GroundingConfig, VSTGNet
+    from vgqa_tpu.models.postprocess import postprocess
+    from vgqa_tpu.utils.containers import TextBatch, VideoBatch
+
+    cfg = build_default_cfg()
+    t, res, l = cfg.INPUT.TRAIN_SAMPLE_NUM, cfg.INPUT.RESOLUTION, cfg.INPUT.MAX_QUERY_LEN
+    gcfg = GroundingConfig.from_cfg(cfg)
+    model = VSTGNet(gcfg)
+
+    rng = np.random.RandomState(0)
+    batch = 1
+    video = VideoBatch(
+        frames=jnp.asarray(
+            rng.randn(batch, t, res, res, 3).astype(np.float32) * 0.1,
+        ).astype(jnp.bfloat16),
+        pixel_mask=jnp.ones((batch, res, res), bool),
+        time_mask=jnp.ones((batch, t), bool),
+    )
+    text = TextBatch(
+        token_ids=jnp.asarray(rng.randint(4, 50000, (batch, l)).astype(np.int32)),
+        mask=jnp.ones((batch, l), bool),
+    )
+
+    params = jax.jit(lambda r: model.init(r, video, text, train=False))(
+        jax.random.PRNGKey(0)
+    )
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
+    )
+
+    @jax.jit
+    def fwd(params, video, text):
+        out = model.apply(params, video, text, train=False)
+        sizes = jnp.asarray([[720.0, 1280.0]] * batch)
+        boxes, s, e = postprocess(
+            out["pred_boxes"].astype(jnp.float32),
+            out["pred_sted"].astype(jnp.float32),
+            sizes,
+            video.time_mask,
+        )
+        return boxes, s, e, out["att_sequences"]
+
+    # warmup / compile
+    t0 = time.time()
+    jax.block_until_ready(fwd(params, video, text))
+    compile_s = time.time() - t0
+
+    iters = 20
+    t0 = time.time()
+    for _ in range(iters):
+        res_out = fwd(params, video, text)
+    jax.block_until_ready(res_out)
+    dt = time.time() - t0
+    clips_per_sec = batch * iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "grounding_64f_224px_clips_per_sec_per_chip",
+                "value": round(clips_per_sec, 3),
+                "unit": "clips/sec",
+                "vs_baseline": round(clips_per_sec / TARGET_CLIPS_PER_SEC, 3),
+                "extra": {
+                    "compile_s": round(compile_s, 1),
+                    "step_ms": round(1000 * dt / iters, 1),
+                    "device": str(jax.devices()[0]),
+                    "dtype": "bfloat16",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,217 @@
+// Native video decoder: seek-based selective frame extraction via libav.
+//
+// Replaces the reference's data-path decode strategy — an ffmpeg-python
+// subprocess that decodes the ENTIRE video to raw RGB over a pipe per
+// sample (/root/reference/vgqa/data/vidstg_dataset.py:105-141) and decord
+// in the inference path (vgqa/inference/video_utils.py:17-43). This
+// implementation seeks to the nearest keyframe before each requested frame
+// and decodes forward only as far as needed, converting to packed RGB24
+// with swscale. Exposed as a C ABI consumed through ctypes
+// (vgqa_tpu/native/videodec.py).
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libswscale/swscale.h>
+}
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// Decoding sequentially is cheaper than a seek for short skips.
+constexpr long kSeekThreshold = 64;
+
+struct Decoder {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* codec = nullptr;
+  SwsContext* sws = nullptr;
+  int stream_idx = -1;
+  int width = 0;
+  int height = 0;
+  double fps = 0.0;
+  int64_t start_pts = 0;
+  double pts_per_frame = 0.0;
+
+  ~Decoder() {
+    if (sws) sws_freeContext(sws);
+    if (codec) avcodec_free_context(&codec);
+    if (fmt) avformat_close_input(&fmt);
+  }
+
+  int open(const char* path) {
+    if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
+    if (avformat_find_stream_info(fmt, nullptr) < 0) return -2;
+    stream_idx =
+        av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+    if (stream_idx < 0) return -3;
+    AVStream* st = fmt->streams[stream_idx];
+    const AVCodec* dec = avcodec_find_decoder(st->codecpar->codec_id);
+    if (!dec) return -4;
+    codec = avcodec_alloc_context3(dec);
+    if (avcodec_parameters_to_context(codec, st->codecpar) < 0) return -5;
+    codec->thread_count = 0;  // auto
+    if (avcodec_open2(codec, dec, nullptr) < 0) return -6;
+
+    width = codec->width;
+    height = codec->height;
+    AVRational fr =
+        st->avg_frame_rate.num ? st->avg_frame_rate : st->r_frame_rate;
+    fps = fr.den && fr.num ? av_q2d(fr) : 30.0;
+    start_pts = st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time;
+    pts_per_frame = 1.0 / (fps * av_q2d(st->time_base));
+    return 0;
+  }
+
+  int64_t frame_to_pts(long frame_idx) const {
+    return start_pts + (int64_t)llround(frame_idx * pts_per_frame);
+  }
+
+  long pts_to_frame(int64_t pts) const {
+    return lround((double)(pts - start_pts) / pts_per_frame);
+  }
+
+  int total_frames() {
+    AVStream* st = fmt->streams[stream_idx];
+    if (st->nb_frames > 0) return (int)st->nb_frames;
+    double dur = 0;
+    if (st->duration != AV_NOPTS_VALUE)
+      dur = st->duration * av_q2d(st->time_base);
+    else if (fmt->duration != AV_NOPTS_VALUE)
+      dur = (double)fmt->duration / AV_TIME_BASE;
+    return (int)(dur * fps + 0.5);
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success.
+int vd_info(const char* path, int* total_frames, double* fps, int* width,
+            int* height) {
+  Decoder d;
+  int rc = d.open(path);
+  if (rc != 0) return rc;
+  *total_frames = d.total_frames();
+  *fps = d.fps;
+  *width = d.width;
+  *height = d.height;
+  return 0;
+}
+
+// Decode the frames listed in frame_ids (any order, repeats allowed) into
+// `out` (n * height * width * 3 bytes, RGB24). Returns 0 on success.
+int vd_read_frames(const char* path, const long* frame_ids, int n,
+                   uint8_t* out) {
+  Decoder d;
+  int rc = d.open(path);
+  if (rc != 0) return rc;
+
+  std::vector<long> wanted(frame_ids, frame_ids + n);
+  std::vector<long> uniq(wanted);
+  std::sort(uniq.begin(), uniq.end());
+  uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+
+  const int frame_bytes = d.width * d.height * 3;
+  std::vector<std::vector<uint8_t>> decoded(uniq.size());
+
+  d.sws = sws_getContext(d.width, d.height, d.codec->pix_fmt, d.width,
+                         d.height, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
+                         nullptr, nullptr);
+  if (!d.sws) return -7;
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+
+  size_t cursor = 0;        // first uniq index not yet decoded
+  long last_decoded = -1;   // highest frame index seen since last seek
+  bool at_eof = false;
+
+  auto convert_into = [&](size_t i, AVFrame* f) {
+    decoded[i].resize(frame_bytes);
+    uint8_t* dst[1] = {decoded[i].data()};
+    int dst_stride[1] = {d.width * 3};
+    sws_scale(d.sws, f->data, f->linesize, 0, d.height, dst, dst_stride);
+  };
+
+  // Store a decoded frame: exact index matches, plus overshoot fallback
+  // (seek landed past a wanted frame -> take the nearest-after frame).
+  auto handle_frame = [&](AVFrame* f) {
+    long fidx = d.pts_to_frame(
+        f->best_effort_timestamp != AV_NOPTS_VALUE ? f->best_effort_timestamp
+                                                   : f->pts);
+    last_decoded = std::max(last_decoded, fidx);
+    for (size_t i = cursor; i < uniq.size() && uniq[i] <= fidx; ++i) {
+      if (decoded[i].empty()) convert_into(i, f);
+    }
+    while (cursor < uniq.size() && !decoded[cursor].empty()) ++cursor;
+  };
+
+  while (cursor < uniq.size() && !at_eof) {
+    long target = uniq[cursor];
+    if (last_decoded < 0 || target > last_decoded + kSeekThreshold ||
+        target <= last_decoded) {
+      av_seek_frame(d.fmt, d.stream_idx, d.frame_to_pts(target),
+                    AVSEEK_FLAG_BACKWARD);
+      avcodec_flush_buffers(d.codec);
+      last_decoded = -1;
+    }
+    // decode until the target frame is stored or EOF
+    while (cursor < uniq.size() && uniq[cursor] == target) {
+      int read_rc = av_read_frame(d.fmt, pkt);
+      if (read_rc < 0) {
+        avcodec_send_packet(d.codec, nullptr);  // flush
+        while (avcodec_receive_frame(d.codec, frame) == 0) {
+          handle_frame(frame);
+          av_frame_unref(frame);
+        }
+        at_eof = true;
+        break;
+      }
+      if (pkt->stream_index != d.stream_idx) {
+        av_packet_unref(pkt);
+        continue;
+      }
+      int src = avcodec_send_packet(d.codec, pkt);
+      av_packet_unref(pkt);
+      if (src < 0 && src != AVERROR(EAGAIN)) {
+        at_eof = true;
+        break;
+      }
+      while (avcodec_receive_frame(d.codec, frame) == 0) {
+        handle_frame(frame);
+        av_frame_unref(frame);
+      }
+    }
+  }
+
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+
+  // frames past EOF (metadata frame counts can overshoot): reuse the
+  // nearest earlier decoded frame (the reference's whole-video decode has
+  // the same failure mode handled by numpy fancy-index wrap/clamp)
+  for (size_t i = 0; i < uniq.size(); ++i) {
+    if (decoded[i].empty()) {
+      size_t j = i;
+      while (j > 0 && decoded[j].empty()) --j;
+      if (decoded[j].empty()) return -8;
+      decoded[i] = decoded[j];
+    }
+  }
+
+  for (int i = 0; i < n; ++i) {
+    auto it = std::lower_bound(uniq.begin(), uniq.end(), wanted[i]);
+    size_t j = (size_t)(it - uniq.begin());
+    std::memcpy(out + (size_t)i * frame_bytes, decoded[j].data(), frame_bytes);
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,109 @@
+import os
+
+import numpy as np
+import pytest
+
+from vgqa_tpu.config import build_default_cfg
+from vgqa_tpu.data.synthetic import make_synthetic_dataset, write_synthetic_video
+from vgqa_tpu.data.video_io import read_frames, uniform_sample_indices, video_info
+from vgqa_tpu.data.words import clean_description
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("vidstg"))
+    make_synthetic_dataset(d, num_videos=2, frames_per_video=30)
+    return d
+
+
+def _test_cfg(data_dir):
+    cfg = build_default_cfg()
+    cfg.DATA_DIR = data_dir
+    cfg.INPUT.RESOLUTION = 64
+    cfg.INPUT.TRAIN_SAMPLE_NUM = 8
+    cfg.DATALOADER.NUM_WORKERS = 0
+    return cfg
+
+
+def test_video_io_roundtrip(tmp_path):
+    path = str(tmp_path / "v.mp4")
+    boxes = write_synthetic_video(path, 20, (64, 48), seed=1)
+    assert len(boxes) == 20
+    total, fps, w, h = video_info(path)
+    assert total == 20 and w == 64 and h == 48
+    frames = read_frames(path, [0, 5, 5, 19])
+    assert frames.shape == (4, 48, 64, 3)
+    np.testing.assert_array_equal(frames[1], frames[2])
+
+
+def test_uniform_sample_indices():
+    assert uniform_sample_indices(10, 10) == list(range(10))
+    idx = uniform_sample_indices(100, 5)
+    assert idx[0] == 0 and idx[-1] == 99 and len(idx) == 5
+
+
+def test_clean_description():
+    assert clean_description("Thr Dog, runs LEFT!") == "the dog runs left"
+
+
+def test_annotations_and_dataset(data_dir):
+    from vgqa_tpu.data.dataset import build_dataset
+
+    cfg = _test_cfg(data_dir)
+    ds = build_dataset(cfg, "train")
+    assert len(ds) == 4  # 2 videos x (caption + question)
+    s = ds[0]
+    assert s["frames"].shape[0] <= 8
+    assert s["frames"].shape[1] == 64 and s["frames"].shape[2] == 64
+    assert s["boxes"].ndim == 2 and s["boxes"].shape[1] == 4
+    # normalized cxcywh after NormalizeAndPad
+    assert (s["boxes"] >= 0).all() and (s["boxes"] <= 1).all()
+    assert s["actioness"].sum() == s["boxes"].shape[0]
+    assert s["text"].startswith("the green square")
+
+
+def test_annotation_cache_reused(data_dir):
+    from vgqa_tpu.data.annotations import load_items
+
+    items1 = load_items(data_dir, "train")
+    assert os.path.exists(
+        os.path.join(data_dir, "data_cache", "vidstg-train-input.json")
+    )
+    items2 = load_items(data_dir, "train")
+    assert [i["item_id"] for i in items1] == [i["item_id"] for i in items2]
+
+
+def test_loader_batches(data_dir):
+    from vgqa_tpu.data.loader import make_data_loader
+
+    cfg = _test_cfg(data_dir)
+    cfg.SOLVER.MAX_EPOCH = 1
+    loader = make_data_loader(cfg, "train")
+    batches = list(loader)
+    assert len(batches) == len(loader)
+    b = batches[0]
+    v = b["video"]
+    assert v.frames.shape == (1, 8, 64, 64, 3)
+    assert b["text"].token_ids.shape == (1, 26)
+    t = b["targets"]
+    assert t["boxes"].shape == (1, 8, 4)
+    assert t["sted"].shape == (1, 2)
+    s0, s1 = int(t["sted"][0, 0]), int(t["sted"][0, 1])
+    act = np.asarray(t["actioness"][0])
+    assert act[s0] == 1 and act[s1] == 1
+    # boxes nonzero exactly on the GT span
+    bx = np.asarray(t["boxes"][0])
+    assert (np.abs(bx[s0 : s1 + 1]).sum(-1) > 0).all()
+    assert b["targets"]["attr_labels"].shape == (1, cfg.DATASET.APP_NUM)
+
+
+def test_loader_resume_and_shuffle(data_dir):
+    from vgqa_tpu.data.loader import make_data_loader
+
+    cfg = _test_cfg(data_dir)
+    cfg.SOLVER.MAX_EPOCH = 2
+    loader = make_data_loader(cfg, "train")
+    all_iters = [b["iteration"] for b in loader]
+    assert all_iters == list(range(len(loader)))
+    resumed = make_data_loader(cfg, "train", start_iter=3)
+    assert [b["iteration"] for b in resumed] == list(range(3, len(loader)))

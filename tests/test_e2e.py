@@ -1,0 +1,109 @@
+"""End-to-end smoke: synthetic dataset -> train -> checkpoint -> eval ->
+inference predict. The hermetic counterpart of the reference's DATA_TRUNK
+fast path (it ships no tests at all, SURVEY.md §4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vgqa_tpu.config import build_default_cfg
+from vgqa_tpu.data.synthetic import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    data_dir = str(root / "data")
+    out_dir = str(root / "out")
+    make_synthetic_dataset(data_dir, num_videos=2, frames_per_video=24)
+    cfg = build_default_cfg()
+    cfg.merge_from_file("configs/grounding_vidstg_tiny.yaml")
+    cfg.DATA_DIR = data_dir
+    cfg.OUTPUT_DIR = out_dir
+    cfg.DATA_TRUNK = 2
+    cfg.SOLVER.TO_VAL = False
+    cfg.TPU.MESH_DP = 1  # single-device data axis -> 2 items = 2 iterations
+    return cfg, data_dir, out_dir
+
+
+def test_train_eval_infer(env):
+    cfg, data_dir, out_dir = env
+    import sys
+
+    sys.path.insert(0, "tools")
+    from vgqa_tpu.utils.log_setup import setup_logger
+
+    import importlib
+
+    train_mod = importlib.import_module("train")
+    logger = setup_logger("e2e-test", "")
+
+    trainer = train_mod.Trainer(cfg, logger, seed=0)
+    trainer.setup()
+    assert trainer.max_iter == 2  # 2 items / 1 global batch x 1 epoch
+    trainer.fit()
+    assert int(trainer.state.step) == 2
+    # final checkpoint tagged
+    assert os.path.exists(os.path.join(out_dir, "last_checkpoint"))
+
+    # evaluation over the synthetic test split
+    from vgqa_tpu.data.loader import make_data_loader
+    from vgqa_tpu.data.metrics import build_evaluator
+    from vgqa_tpu.training.evaluator import do_eval
+
+    evaluator = build_evaluator(cfg, logger, mode="test")
+    loader = make_data_loader(cfg, "test", global_batch=1)
+    results = do_eval(cfg, "test", logger, trainer.model, trainer.eval_params(),
+                      loader, evaluator)
+    assert any(k.endswith("_viou") for k in results)
+    assert any(k.endswith("_tiou") for k in results)
+    for k, v in results.items():
+        assert np.isfinite(v), k
+        assert 0.0 <= v <= 1.0 or k.endswith("kf_p") or k.endswith("kf_r"), (k, v)
+
+
+def test_checkpoint_resume(env):
+    cfg, data_dir, out_dir = env
+    import jax
+
+    from vgqa_tpu.training import CheckpointManager
+
+    mgr = CheckpointManager(out_dir)
+    assert mgr.has_checkpoint()
+    # restore into an abstract twin of the saved state
+    import sys
+
+    sys.path.insert(0, "tools")
+    import importlib
+
+    train_mod = importlib.import_module("train")
+    from vgqa_tpu.utils.log_setup import setup_logger
+
+    trainer = train_mod.Trainer(cfg, setup_logger("resume-test", ""), seed=0)
+    trainer.setup()  # setup() auto-resumes from the tag
+    assert int(trainer.state.step) == 2
+
+
+def test_predict_api(env, tmp_path):
+    cfg, data_dir, out_dir = env
+    from vgqa_tpu.inference.grounding import predict
+
+    cfg_path = str(tmp_path / "tiny.yaml")
+    # predict() loads config from disk like the CLI does
+    c = build_default_cfg()
+    c.merge_from_file("configs/grounding_vidstg_tiny.yaml")
+    c.DATA_DIR = data_dir
+    with open(cfg_path, "w") as f:
+        f.write(c.dump())
+
+    video = os.path.join(data_dir, "videos", "test_vid000.mp4")
+    result = predict(video, "a green square moves right", cfg_path, ckpt_path="")
+    assert set(result.keys()) == {"temporal", "tube"}
+    assert result["temporal"]["start"] <= result["temporal"]["end"]
+    assert len(result["tube"]) >= 1
+    first = result["tube"][0]
+    assert set(first.keys()) == {"frame", "bbox", "score"}
+    assert len(first["bbox"]) == 4
+    json.dumps(result)  # schema must be JSON-serializable

@@ -1,0 +1,60 @@
+import numpy as np
+import pytest
+
+from vgqa_tpu.data.synthetic import write_synthetic_video
+from vgqa_tpu.native import videodec
+
+
+@pytest.fixture(scope="module")
+def video(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("vid") / "v.mp4")
+    write_synthetic_video(p, 30, (64, 48), seed=0)
+    return p
+
+
+needs_native = pytest.mark.skipif(
+    not videodec.available(), reason="native decoder not built (no libav)"
+)
+
+
+@needs_native
+def test_info(video):
+    total, fps, w, h = videodec.video_info(video)
+    assert (total, w, h) == (30, 64, 48)
+    assert abs(fps - 10.0) < 0.1
+
+
+@needs_native
+def test_selective_decode_matches_cv2(video):
+    from vgqa_tpu.data.video_io import _cv2_read_frames
+
+    ids = [0, 3, 11, 11, 29]
+    native = videodec.read_frames(video, ids)
+    assert native.shape == (5, 48, 64, 3)
+    np.testing.assert_array_equal(native[2], native[3])
+    cv = _cv2_read_frames(video, ids)
+    diff = np.abs(native.astype(int) - cv.astype(int)).mean()
+    assert diff < 3.0  # same decoder family; tiny colorspace rounding allowed
+
+
+@needs_native
+def test_unordered_and_backward_ids(video):
+    fr = videodec.read_frames(video, [20, 5, 5, 0])
+    fwd = videodec.read_frames(video, [0, 5, 20])
+    np.testing.assert_array_equal(fr[3], fwd[0])
+    np.testing.assert_array_equal(fr[1], fwd[1])
+    np.testing.assert_array_equal(fr[0], fwd[2])
+
+
+@needs_native
+def test_out_of_range_clamps(video):
+    fr = videodec.read_frames(video, [29, 35])
+    np.testing.assert_array_equal(fr[0], fr[1])
+
+
+@needs_native
+def test_video_io_prefers_native(video):
+    from vgqa_tpu.data import video_io
+
+    frames = video_io.read_frames(video, [1, 2])
+    assert frames.shape == (2, 48, 64, 3)

@@ -1,0 +1,116 @@
+import numpy as np
+import pytest
+
+from vgqa_tpu.qa import GenerationConfig, LLMConfig, QAEngine, ViTConfig
+from vgqa_tpu.qa.engine import ByteTokenizer
+from vgqa_tpu.qa.preprocess import dynamic_tile, find_closest_aspect_ratio
+
+
+def test_byte_tokenizer_roundtrip():
+    tok = ByteTokenizer()
+    text = "What color is the square? répondez"
+    assert tok.decode(tok.encode(text)) == text
+
+
+def test_dynamic_tile_shapes():
+    img = np.zeros((100, 300, 3), np.uint8)  # 3:1 aspect
+    tiles = dynamic_tile(img, image_size=32, max_num=6)
+    # 3x1 tiling + thumbnail
+    assert tiles.shape == (4, 32, 32, 3)
+    square = np.zeros((64, 64, 3), np.uint8)
+    tiles = dynamic_tile(square, image_size=32, max_num=1)
+    assert tiles.shape == (1, 32, 32, 3)  # single tile -> no thumbnail
+
+
+def test_closest_aspect_ratio():
+    ratios = [(1, 1), (2, 1), (1, 2)]
+    assert find_closest_aspect_ratio(2.0, ratios, 200, 100, 32) == (2, 1)
+    assert find_closest_aspect_ratio(0.5, ratios, 100, 200, 32) == (1, 2)
+
+
+@pytest.fixture(scope="module")
+def tiny_engine():
+    return QAEngine.init_random(LLMConfig.tiny(), ViTConfig.tiny())
+
+
+def test_llm_kv_cache_decode_matches_prefill(tiny_engine):
+    """Decoding token-by-token through the cache must match a full forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from vgqa_tpu.qa.llm import init_kv_cache
+
+    eng = tiny_engine
+    ids = np.array([[7, 20, 33, 90, 17]], np.int32)
+    L = ids.shape[1]
+    embeds = eng.embed.apply({"params": eng.params["embed"]}, jnp.asarray(ids))
+
+    # full causal forward
+    pos = jnp.arange(L)[None]
+    causal = jnp.tril(jnp.ones((1, L, L), bool))
+    full_logits, _ = eng.llm.apply(
+        {"params": eng.params["llm"]}, embeds, pos, causal
+    )
+
+    # prefill 2 tokens, decode the rest one by one
+    cache = init_kv_cache(eng.llm_cfg, 1, L + 4, jnp.float32)
+    last, cache = eng._prefill(eng.params, embeds[:, :2], jnp.asarray(2), cache)
+    np.testing.assert_allclose(
+        np.asarray(last[0]), np.asarray(full_logits[0, 1]), atol=2e-4
+    )
+    for t in range(2, L):
+        last, cache = eng._decode_step(
+            eng.params, cache, jnp.asarray([ids[0, t]]), jnp.asarray(t, jnp.int32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(last[0]), np.asarray(full_logits[0, t]), atol=2e-4,
+            err_msg=f"mismatch at position {t}",
+        )
+
+
+def test_chat_generates_text(tiny_engine):
+    eng = tiny_engine
+    s = eng.vit_cfg.image_size
+    tiles = np.random.RandomState(0).rand(2, s, s, 3).astype(np.float32)
+    answer = eng.chat(
+        tiles,
+        "what is moving?",
+        GenerationConfig(max_new_tokens=8, do_sample=False),
+        num_patches_list=[1, 1],
+    )
+    assert isinstance(answer, str)
+    assert len(answer) <= 8 * 4  # byte tokenizer: each token <= 1 char
+
+
+def test_chat_deterministic_greedy(tiny_engine):
+    eng = tiny_engine
+    s = eng.vit_cfg.image_size
+    tiles = np.random.RandomState(1).rand(1, s, s, 3).astype(np.float32)
+    g = GenerationConfig(max_new_tokens=6, do_sample=False)
+    a1 = eng.chat(tiles, "question", g)
+    a2 = eng.chat(tiles, "question", g)
+    assert a1 == a2
+
+
+def test_qa_predict_api(tmp_path):
+    from vgqa_tpu.data.synthetic import write_synthetic_video
+    from vgqa_tpu.inference.qa import predict
+
+    video = str(tmp_path / "v.mp4")
+    write_synthetic_video(video, 20, (64, 48), seed=0)
+    result = predict(
+        video, "what moves?", model_dir="__tiny__", num_frames=4,
+        max_new_tokens=4, temperature=0.0,
+    )
+    assert set(result.keys()) == {"answer"}
+    assert isinstance(result["answer"], str)
+
+
+def test_qa_predict_missing_model_dir(tmp_path):
+    from vgqa_tpu.data.synthetic import write_synthetic_video
+    from vgqa_tpu.inference.qa import predict
+
+    video = str(tmp_path / "v.mp4")
+    write_synthetic_video(video, 5, (32, 32), seed=0)
+    with pytest.raises(FileNotFoundError):
+        predict(video, "?", model_dir=str(tmp_path / "nope"))

@@ -1,0 +1,171 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vgqa_tpu.config import build_default_cfg
+from vgqa_tpu.models import GroundingConfig, VSTGNet, VideoSTGLoss, build_weight_dict
+from vgqa_tpu.training import (
+    create_train_state,
+    label_params,
+    make_optimizer,
+    make_schedule,
+    make_train_step,
+    update_ema,
+)
+from vgqa_tpu.utils.containers import TextBatch, VideoBatch
+
+V, T, H, W, L = 1, 4, 64, 64, 8
+
+
+def _cfg():
+    cfg = build_default_cfg()
+    cfg.SOLVER.MAX_EPOCH = 2
+    cfg.SOLVER.SCHEDULE.DROP_STEP = [1]
+    return cfg
+
+
+def _batch(v=V):
+    rng = np.random.RandomState(0)
+    video = VideoBatch(
+        frames=jnp.asarray(rng.randn(v, T, H, W, 3).astype(np.float32) * 0.1),
+        pixel_mask=jnp.ones((v, H, W), bool),
+        time_mask=jnp.ones((v, T), bool),
+    )
+    text = TextBatch(
+        token_ids=jnp.asarray(rng.randint(4, 100, (v, L)).astype(np.int32)),
+        mask=jnp.ones((v, L), bool),
+    )
+    act = np.zeros((v, T), np.float32)
+    act[:, 1:3] = 1
+    boxes = np.zeros((v, T, 4), np.float32)
+    boxes[:, :, :] = [0.5, 0.5, 0.2, 0.3]
+    targets = {
+        "boxes": jnp.asarray(boxes),
+        "actioness": jnp.asarray(act),
+        "time_mask": jnp.ones((v, T), bool),
+        "sted": jnp.asarray(np.tile([[1, 2]], (v, 1)).astype(np.int32)),
+        "attr_labels": jnp.zeros((v, 5)),
+        "verb_labels": jnp.zeros((v, 7)),
+    }
+    return video, text, targets
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = VSTGNet(GroundingConfig.tiny_test())
+    video, text, _ = _batch()
+    params = model.init(jax.random.PRNGKey(0), video, text, train=False)
+    return model, params
+
+
+def test_param_labels(model_and_params):
+    _, params = model_and_params
+    labels = label_params(params, freeze_swin=True, freeze_text=False)
+    flat = {
+        "/".join(getattr(k, "key", str(k)) for k in path): lab
+        for path, lab in jax.tree_util.tree_flatten_with_path(labels)[0]
+    }
+    assert any(v == "frozen" and "vid/" in k for k, v in flat.items())
+    assert any(v == "vis" and "vis_encoder/layer3" in k for k, v in flat.items())
+    # stem, layer1 and frozen-BN affines never train
+    assert all(
+        v == "frozen"
+        for k, v in flat.items()
+        if "vis_encoder/conv1" in k or "vis_encoder/layer1_" in k
+    )
+    assert all(v == "frozen" for k, v in flat.items() if "/bn1/" in k)
+    assert any(v == "text" and "text_encoder" in k for k, v in flat.items())
+    assert any(v == "temp" and "time_decoder" in k for k, v in flat.items())
+    assert any(v == "clas" and "s_spatial_clas" in k for k, v in flat.items())
+    assert any(v == "rest" and "ground_encoder" in k for k, v in flat.items())
+
+
+def test_schedule_warmup_and_drops():
+    cfg = _cfg()
+    max_iter = 100  # 2 epochs x 50; warmup = 1 iter
+    sched = make_schedule(cfg, max_iter, "rest")
+    base = cfg.SOLVER.BASE_LR
+    # first update runs at the full base LR (1-based counter, warmup=1 it)
+    np.testing.assert_allclose(float(sched(0)), base, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(10)), base, rtol=1e-6)
+    # epoch 1 >= DROP_STEP[0]=1 -> 0.1x
+    np.testing.assert_allclose(float(sched(60)), base * 0.1, rtol=1e-6)
+    # longer warmup ramps linearly
+    cfg2 = _cfg()
+    cfg2.SOLVER.WARMUP_PROP = 0.1  # 10 warmup iters
+    sched2 = make_schedule(cfg2, max_iter, "rest")
+    np.testing.assert_allclose(float(sched2(0)), base * 0.1, rtol=1e-6)
+    np.testing.assert_allclose(float(sched2(4)), base * 0.5, rtol=1e-6)
+
+
+def test_train_step_updates_and_freezes(model_and_params):
+    model, params = model_and_params
+    cfg = _cfg()
+    tx, labels = make_optimizer(cfg, params, max_iter=10)
+    loss_fn = VideoSTGLoss(use_aux_loss=True)
+    weight_dict = build_weight_dict(cfg)
+    step_fn = jax.jit(make_train_step(model, loss_fn, weight_dict, tx, 0.9))
+    state = create_train_state(params, tx, use_ema=True)
+    video, text, targets = _batch()
+    rng = jax.random.PRNGKey(0)
+
+    state1, metrics = step_fn(state, video, text, targets, rng)
+    assert int(state1.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+
+    # frozen leaves identical, trainable leaves moved
+    p0 = params["params"]
+    p1 = state1.params["params"]
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(p0["vid"])[0]),
+        np.asarray(jax.tree.leaves(p1["vid"])[0]),
+    )
+    enc0 = np.concatenate([np.ravel(x) for x in jax.tree.leaves(p0["ground_encoder"])])
+    enc1 = np.concatenate([np.ravel(x) for x in jax.tree.leaves(p1["ground_encoder"])])
+    assert np.abs(enc0 - enc1).max() > 0
+
+    # EMA moved toward new params but not equal to them
+    ema1 = state1.ema_params["params"]["ground_encoder"]
+    e1 = np.concatenate([np.ravel(x) for x in jax.tree.leaves(ema1)])
+    assert np.abs(e1 - enc0).max() > 0 and np.abs(e1 - enc1).max() > 0
+
+    # second step continues
+    state2, metrics2 = step_fn(state1, video, text, targets, rng)
+    assert int(state2.step) == 2
+
+
+def test_train_step_sharded_dp(model_and_params):
+    """The same jitted step over an 8-way dp mesh (one video per device)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vgqa_tpu.parallel import batch_sharding, build_mesh
+
+    model, params = model_and_params
+    cfg = _cfg()
+    tx, _ = make_optimizer(cfg, params, max_iter=10)
+    loss_fn = VideoSTGLoss(use_aux_loss=False)
+    weight_dict = build_weight_dict(cfg)
+    step_fn = make_train_step(model, loss_fn, weight_dict, tx, None)
+
+    mesh = build_mesh(dp=8, tp=1)
+    state = create_train_state(params, tx, use_ema=False)
+    video, text, targets = _batch(v=8)
+    shard = batch_sharding(mesh)
+    video = jax.device_put(video, shard)
+    text = jax.device_put(text, shard)
+    targets = jax.device_put(targets, shard)
+    repl = NamedSharding(mesh, P())
+    state = jax.device_put(state, repl)
+
+    jitted = jax.jit(step_fn)
+    state1, metrics = jitted(state, video, text, targets, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state1.step) == 1
+
+
+def test_ema_update_math():
+    p = {"w": jnp.ones((2,))}
+    e = {"w": jnp.zeros((2,))}
+    out = update_ema(p, e, 0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.1, atol=1e-6)

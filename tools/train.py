@@ -1,0 +1,175 @@
+"""Training entrypoint for spatio-temporal video grounding.
+
+TPU-native counterpart of /root/reference/tools/train.py:37-427. One Python
+process drives all local devices through a single jitted train step over a
+(dp, tp) mesh — there is no per-GPU process launch (torchrun env:// at
+train.py:377-384); multi-host pods call ``jax.distributed.initialize``.
+"""
+
+import argparse
+import datetime
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from vgqa_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vgqa_tpu.config import cfg
+from vgqa_tpu.data.loader import make_data_loader
+from vgqa_tpu.data.metrics import build_evaluator
+from vgqa_tpu.models import build_model, build_weight_dict
+from vgqa_tpu.parallel import batch_sharding, build_mesh
+from vgqa_tpu.training import (
+    CheckpointManager,
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from vgqa_tpu.training.evaluator import do_eval
+from vgqa_tpu.utils.log_setup import setup_logger
+from vgqa_tpu.utils.metrics_logger import MetricLogger
+from vgqa_tpu.utils.containers import TextBatch, VideoBatch
+
+
+class Trainer:
+    def __init__(self, cfg, logger, seed: int = 2021):
+        self.cfg = cfg
+        self.logger = logger
+        self.seed = seed
+
+    def setup(self):
+        c = self.cfg
+        self.mesh = build_mesh(dp=c.TPU.MESH_DP, tp=c.TPU.MESH_TP)
+        dp = self.mesh.shape["dp"]
+        self.logger.info(f"Mesh: dp={dp}, tp={self.mesh.shape['tp']}")
+
+        self.model, self.loss_fn, self.weight_dict = build_model(c)
+
+        self.train_loader = make_data_loader(c, "train", global_batch=dp)
+        self.max_iter = len(self.train_loader)
+
+        # init params from one example batch
+        example = next(iter(make_data_loader(c, "train", global_batch=dp)))
+        with self.mesh:
+            params = jax.jit(
+                lambda rng: self.model.init(
+                    rng, example["video"], example["text"], train=False
+                )
+            )(jax.random.PRNGKey(self.seed))
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+        self.logger.info(f"Model parameters: {n_params / 1e6:.1f}M")
+
+        tx, _ = make_optimizer(c, params, self.max_iter)
+        self.tx = tx
+        state = create_train_state(params, tx, use_ema=c.MODEL.EMA)
+
+        self.ckpt = CheckpointManager(c.OUTPUT_DIR or "output", logger=self.logger)
+        restored = self.ckpt.load(state)
+        if restored is not None:
+            state = restored
+            self.logger.info(f"Resumed at iteration {int(state.step)}")
+        self.state = state
+
+        ema_decay = c.MODEL.EMA_DECAY if c.MODEL.EMA else None
+        step_fn = make_train_step(
+            self.model, self.loss_fn, self.weight_dict, tx, ema_decay
+        )
+        donate = (0,) if c.TPU.DONATE else ()
+        self.step_fn = jax.jit(step_fn, donate_argnums=donate)
+        self.batch_shard = batch_sharding(self.mesh)
+
+    def fit(self):
+        c = self.cfg
+        meter = MetricLogger()
+        rng = jax.random.PRNGKey(self.seed)
+        start_iter = int(self.state.step)
+        loader = make_data_loader(c, "train", start_iter=start_iter,
+                                  global_batch=self.mesh.shape["dp"])
+        start_time = last = time.time()
+        step = start_iter
+        for batch in loader:
+            data_time = time.time() - last
+            step = batch["iteration"] + 1
+            video = jax.device_put(batch["video"], self.batch_shard)
+            text = jax.device_put(batch["text"], self.batch_shard)
+            targets = jax.device_put(batch["targets"], self.batch_shard)
+            with self.mesh:
+                self.state, metrics = self.step_fn(
+                    self.state, video, text, targets, rng
+                )
+            loss = float(metrics["loss"])
+            batch_time = time.time() - last
+            last = time.time()
+            meter.update(loss=loss, time=batch_time, data=data_time)
+
+            if step % 50 == 0 or step == self.max_iter:
+                eta = meter.time.global_avg * (self.max_iter - step)
+                self.logger.info(
+                    f"eta: {datetime.timedelta(seconds=int(eta))}  "
+                    f"iter: {step} / {self.max_iter}  {meter}"
+                )
+            if step % c.SOLVER.CHECKPOINT_PERIOD == 0:
+                self.ckpt.save(f"model_{step:06d}", self.state)
+            if c.SOLVER.TO_VAL and step % c.SOLVER.VAL_PERIOD == 0:
+                self.validate()
+        self.ckpt.save("model_final", self.state)
+        total = time.time() - start_time
+        self.logger.info(
+            f"Total training time: {datetime.timedelta(seconds=int(total))} "
+            f"({total / max(1, self.max_iter - start_iter):.4f} s / it)"
+        )
+
+    def eval_params(self):
+        # evaluate the EMA weights when enabled (train.py:307)
+        return self.state.ema_params or self.state.params
+
+    def validate(self):
+        c = self.cfg
+        evaluator = build_evaluator(c, self.logger, mode="test")
+        loader = make_data_loader(c, "test", global_batch=1)
+        do_eval(c, "test", self.logger, self.model, self.eval_params(),
+                loader, evaluator)
+
+    def test(self):
+        self.validate()
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Spatio-Temporal Grounding Training")
+    parser.add_argument("--config-file", default="", metavar="FILE", type=str)
+    parser.add_argument("--seed", type=int, default=2021)
+    parser.add_argument("--skip-test", action="store_true")
+    parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    cfg.merge_from_list(args.opts or [])
+    cfg.freeze()
+
+    if cfg.OUTPUT_DIR:
+        os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+    logger = setup_logger("Video Grounding", cfg.OUTPUT_DIR, jax.process_index())
+    logger.info(f"Devices: {len(jax.devices())} x {jax.devices()[0].device_kind}")
+    if cfg.OUTPUT_DIR:
+        with open(os.path.join(cfg.OUTPUT_DIR, "config.yml"), "w") as f:
+            f.write(cfg.dump())
+
+    trainer = Trainer(cfg, logger, seed=args.seed)
+    trainer.setup()
+    trainer.fit()
+    if not args.skip_test:
+        trainer.test()
+
+
+if __name__ == "__main__":
+    main()

@@ -186,7 +186,9 @@ def build_transforms(cfg, is_train: bool, rng=None) -> Compose:
             ]
         )
     if cfg.INPUT.AUG_SCALE:
-        sizes = [res - 32 * i for i in range(4)]
+        # ladder of short-side targets (build.py:29); keep positive for
+        # small debug resolutions
+        sizes = [s for s in (res - 32 * i for i in range(4)) if s >= 32] or [res]
     else:
         sizes = [res]
     return Compose(

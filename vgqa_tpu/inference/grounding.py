@@ -1,0 +1,167 @@
+"""Spatio-temporal video grounding inference API.
+
+Parity with /root/reference/vgqa/inference/grounding.py:142-244: decode the
+video, uniformly sample 2x TRAIN_SAMPLE_NUM frames, square-resize +
+normalize, run the even/odd two-pass protocol, merge with linear
+interpolation, and return ``{"temporal": {...}, "tube": [...]}`` with the
+reference's exact schema.
+
+The model forward + postprocess is one cached jitted program; repeat calls
+with the same (cfg, ckpt) reuse the loaded model via a module-level cache
+(the reference reloads weights on every predict call).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import build_default_cfg
+from ..data.tokenizer import batch_encode, build_tokenizer
+from ..data.transforms import resize_frames
+from ..data.video_io import read_frames, uniform_sample_indices, video_info
+from ..models import GroundingConfig, VSTGNet
+from ..training.checkpoint import CheckpointManager
+from ..training.evaluator import (
+    linear_interp,
+    linear_interp_conf,
+    make_eval_forward,
+    single_forward,
+)
+from ..utils.containers import TextBatch, VideoBatch
+
+DEFAULT_CONFIG_PATH = "configs/grounding_vidstg.yaml"
+DEFAULT_CHECKPOINT_PATH = "checkpoints/grounding/vidstg"
+
+
+def _load_yaml_config(config_path: str):
+    if not os.path.exists(config_path):
+        raise FileNotFoundError(f"Config file not found: {config_path}")
+    cfg = build_default_cfg()
+    cfg.merge_from_file(config_path)
+    cfg.freeze()
+    return cfg
+
+
+@lru_cache(maxsize=2)
+def _load_model(config_path: str, ckpt_path: str):
+    cfg = _load_yaml_config(config_path)
+    model = VSTGNet(GroundingConfig.from_cfg(cfg))
+    res = cfg.INPUT.RESOLUTION
+    t_half = cfg.INPUT.TRAIN_SAMPLE_NUM
+    video = VideoBatch(
+        frames=jnp.zeros((1, t_half, res, res, 3)),
+        pixel_mask=jnp.ones((1, res, res), bool),
+        time_mask=jnp.ones((1, t_half), bool),
+    )
+    tokenizer = build_tokenizer(cfg.MODEL.TEXT_MODEL.VOCAB_DIR)
+    ids, mask = batch_encode(tokenizer, ["warmup"], cfg.INPUT.MAX_QUERY_LEN)
+    params = jax.jit(
+        lambda rng: model.init(
+            rng, video, TextBatch(jnp.asarray(ids), jnp.asarray(mask)), train=False
+        )
+    )(jax.random.PRNGKey(0))
+
+    if ckpt_path and os.path.exists(ckpt_path):
+        mgr = CheckpointManager(os.path.dirname(ckpt_path) or ".",
+                                save_to_disk=False)
+        restored = mgr.load(params, ckpt_path)
+        if restored is None:
+            raise ValueError(f"Unrecognized checkpoint format: {ckpt_path}")
+        params = restored
+    elif ckpt_path:
+        import warnings
+
+        warnings.warn(
+            f"Checkpoint not found: {ckpt_path}; using random initialization"
+        )
+    return cfg, model, params, tokenizer
+
+
+def predict(
+    video_path: str,
+    query: str,
+    cfg_path: str = DEFAULT_CONFIG_PATH,
+    ckpt_path: str = DEFAULT_CHECKPOINT_PATH,
+    device_str: Optional[str] = None,
+    batch_size: int = 32,
+) -> Dict[str, Any]:
+    """Run grounding on one video. Returns the reference's schema
+    (grounding.py:227-244): temporal span in seconds + per-frame tube."""
+    del device_str, batch_size  # device placement is implicit in JAX
+    if not os.path.exists(video_path):
+        raise FileNotFoundError(f"Video not found: {video_path}")
+
+    cfg, model, params, tokenizer = _load_model(cfg_path, ckpt_path)
+    res = cfg.INPUT.RESOLUTION
+    mean = np.asarray(cfg.INPUT.PIXEL_MEAN, np.float32)
+    std = np.asarray(cfg.INPUT.PIXEL_STD, np.float32)
+
+    total_frames, fps, w0, h0 = video_info(video_path)
+    target_t = max(2, int(cfg.INPUT.TRAIN_SAMPLE_NUM) * 2)
+    frame_ids = uniform_sample_indices(total_frames, target_t)
+    raw = read_frames(video_path, frame_ids)
+
+    # square resize + normalize (grounding.py:77-87 uses a plain square
+    # Resize, not the letterbox train transform)
+    frames = resize_frames(raw.astype(np.float32) / 255.0, res, res)
+    frames = (frames - mean) / std
+
+    t_half = len(frame_ids) // 2
+    fwd = make_eval_forward(model)
+    halves = []
+    for start in (0, 1):
+        half_frames = frames[start::2]
+        video = VideoBatch(
+            frames=jnp.asarray(half_frames[None]),
+            pixel_mask=jnp.ones((1, res, res), bool),
+            time_mask=jnp.ones((1, half_frames.shape[0]), bool),
+        )
+        ids, mask = batch_encode(tokenizer, [query], cfg.INPUT.MAX_QUERY_LEN)
+        text = TextBatch(jnp.asarray(ids), jnp.asarray(mask))
+        infos = [
+            {
+                "item_id": 0,
+                "vid": "video",
+                "frame_ids": frame_ids[start::2],
+                "duration": half_frames.shape[0],
+                "qtype": "declar",
+                "ori_size": (h0, w0),
+            }
+        ]
+        gt_act = np.ones((1, half_frames.shape[0]), np.float32)
+        halves.append(single_forward(fwd, params, video, text, infos, gt_act))
+
+    (b1, a1, t1, _), (b2, a2, t2, _) = halves
+    b1[0].update(b2[0])
+    bbox_full = linear_interp(b1[0])
+    a1[0].update(a2[0])
+    att_full = linear_interp_conf(a1[0])
+    merged_sted = [
+        min(t1[0]["sted"][0], t2[0]["sted"][0]),
+        max(t1[0]["sted"][1], t2[0]["sted"][1]),
+    ]
+
+    temporal = {
+        "start": float(merged_sted[0]) / max(fps, 1e-6),
+        "end": float(merged_sted[1]) / max(fps, 1e-6),
+        "score": 1.0,
+    }
+    tube = []
+    for fid in sorted(bbox_full.keys()):
+        bbox = bbox_full[fid][0]
+        conf = att_full.get(fid, 1.0)
+        score = float(conf[0] if isinstance(conf, list) else conf)
+        tube.append(
+            {
+                "frame": int(fid),
+                "bbox": [float(b) for b in bbox],
+                "score": score,
+            }
+        )
+    return {"temporal": temporal, "tube": tube}

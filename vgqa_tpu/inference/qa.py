@@ -1,0 +1,94 @@
+"""Video Question Answering inference API (TPU serving).
+
+Parity with /root/reference/vgqa/inference/qa.py:192-248: sample frames
+from the (optionally bounded) video segment, tile to 448px, run the
+multimodal model, return ``{"answer": str}``.
+
+The reference loads InternVideo2.5-Chat-8B via HF remote code on GPUs
+(qa.py:156-189); here the model is the native TPU stack (qa/vit.py,
+qa/llm.py, qa/engine.py). ``model_dir`` may contain converted weights
+(tools/convert_weights.py); a missing dir raises like the reference, and
+``model_dir="__tiny__"`` builds a small random model for hermetic tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import lru_cache
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+
+from ..qa.engine import GenerationConfig, QAEngine
+from ..qa.llm import LLMConfig
+from ..qa.preprocess import load_video_tiles
+from ..qa.vit import ViTConfig
+
+DEFAULT_MODEL_DIR = "checkpoints/qa/InternVideo2_5_Chat_8B"
+
+
+@lru_cache(maxsize=1)
+def _load_engine(model_dir: str) -> QAEngine:
+    if model_dir == "__tiny__":
+        return QAEngine.init_random(LLMConfig.tiny(), ViTConfig.tiny())
+    if not os.path.exists(model_dir):
+        raise FileNotFoundError(
+            f"QA model local directory not found: {model_dir}"
+        )
+    cfg_path = os.path.join(model_dir, "vgqa_tpu_config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            raw = json.load(f)
+        llm_cfg = LLMConfig(**raw.get("llm", {}))
+        vit_cfg = ViTConfig(**raw.get("vit", {}))
+    else:
+        llm_cfg = LLMConfig.internlm2_5_7b()
+        vit_cfg = ViTConfig.internvit_300m()
+    engine = QAEngine.init_random(llm_cfg, vit_cfg, dtype=jnp.bfloat16)
+    weights = os.path.join(model_dir, "params")
+    if os.path.exists(weights):
+        from ..training.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(model_dir, save_to_disk=False)
+        restored = mgr.load(engine.params, weights)
+        if restored is not None:
+            engine.params = restored
+    return engine
+
+
+def predict(
+    video_path: str,
+    question: str,
+    bound: Optional[Tuple[float, float]] = None,
+    model_dir: str = DEFAULT_MODEL_DIR,
+    num_frames: int = 32,
+    max_new_tokens: int = 128,
+    temperature: float = 0.2,
+    top_p: float = 0.9,
+    input_size: int = 448,
+    max_num: int = 1,
+) -> Dict[str, Any]:
+    """Run offline VideoQA (signature parity with qa.py:192-203)."""
+    if not os.path.exists(video_path):
+        raise FileNotFoundError(f"Video not found: {video_path}")
+
+    engine = _load_engine(model_dir)
+    tile_size = engine.vit_cfg.image_size  # tiny engine uses small tiles
+    tiles, num_patches_list = load_video_tiles(
+        video_path,
+        bound=bound,
+        input_size=tile_size if input_size == 448 else input_size,
+        max_num=max_num,
+        num_segments=num_frames,
+    )
+    gen = GenerationConfig(
+        max_new_tokens=max_new_tokens,
+        temperature=max(temperature, 0.01),
+        top_p=top_p,
+        do_sample=temperature > 0,
+    )
+    answer = engine.chat(
+        tiles, question, gen, num_patches_list=num_patches_list
+    )
+    return {"answer": str(answer)}

@@ -1,0 +1,102 @@
+"""ctypes binding for the native selective video decoder
+(native/videodec/videodec.cpp). Auto-builds the shared library on first use
+when the libav toolchain is present; callers fall back to OpenCV when not
+(vgqa_tpu/data/video_io.py)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC_DIR = os.path.join(_REPO_ROOT, "native", "videodec")
+_LIB_PATH = os.path.join(_SRC_DIR, "libvideodec.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _SRC_DIR],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH) and os.path.exists(
+        os.path.join(_SRC_DIR, "videodec.cpp")
+    ):
+        _build()
+    if not os.path.exists(_LIB_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.vd_info.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.vd_info.restype = ctypes.c_int
+    lib.vd_read_frames.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_long),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.vd_read_frames.restype = ctypes.c_int
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def video_info(path: str) -> Tuple[int, float, int, int]:
+    lib = _load()
+    assert lib is not None
+    frames = ctypes.c_int()
+    fps = ctypes.c_double()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.vd_info(
+        path.encode(), ctypes.byref(frames), ctypes.byref(fps),
+        ctypes.byref(w), ctypes.byref(h),
+    )
+    if rc != 0:
+        raise RuntimeError(f"videodec.vd_info failed ({rc}) for {path}")
+    return frames.value, fps.value, w.value, h.value
+
+
+def read_frames(path: str, frame_ids: List[int]) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    _, _, w, h = video_info(path)
+    n = len(frame_ids)
+    ids = (ctypes.c_long * n)(*[int(i) for i in frame_ids])
+    out = np.empty((n, h, w, 3), dtype=np.uint8)
+    rc = lib.vd_read_frames(
+        path.encode(), ids, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    )
+    if rc != 0:
+        raise RuntimeError(f"videodec.vd_read_frames failed ({rc}) for {path}")
+    return out

@@ -1,0 +1,259 @@
+"""TPU serving engine for the multimodal QA model: batched prefill +
+KV-cache autoregressive decode.
+
+Replaces the reference's remote-code ``model.chat(...)`` generation loop
+(/root/reference/vgqa/inference/qa.py:236-245) with a native engine:
+
+* the prompt (text ids with IMG_CONTEXT placeholder spans) is embedded and
+  the placeholder positions are overwritten with vision-tower tokens,
+* prefill runs one static-shape causal program over the padded prompt and
+  fills the KV cache,
+* decode is a jitted single-token step (cache update + matvec attention);
+  temperature/top-p sampling runs host-side,
+* prompt lengths are bucketed to powers of two so repeat calls reuse
+  compiled programs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .llm import LLM, LLMConfig, TokenEmbedding, init_kv_cache
+from .vit import ViTConfig, VisionTower
+
+
+# -- minimal reversible tokenizer -------------------------------------------
+class ByteTokenizer:
+    """Byte-level reversible tokenizer with chat special tokens.
+
+    Used when no converted tokenizer assets exist (hermetic mode); real
+    checkpoints supply a BPE via data.tokenizer.ByteLevelBPETokenizer."""
+
+    PAD, BOS, EOS, IM_START, IM_END, IMG_CONTEXT = 0, 1, 2, 3, 4, 5
+    OFFSET = 16
+
+    vocab_size = 256 + OFFSET
+
+    def encode(self, text: str) -> List[int]:
+        return [b + self.OFFSET for b in text.encode("utf-8")]
+
+    def decode(self, ids: List[int]) -> str:
+        data = bytes(i - self.OFFSET for i in ids if i >= self.OFFSET)
+        return data.decode("utf-8", errors="ignore")
+
+
+@dataclass
+class GenerationConfig:
+    max_new_tokens: int = 128
+    temperature: float = 0.2
+    top_p: float = 0.9
+    do_sample: bool = True
+
+
+def _bucket(n: int, minimum: int = 64) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class QAEngine:
+    def __init__(
+        self,
+        llm_cfg: LLMConfig,
+        vit_cfg: ViTConfig,
+        params: Dict[str, Any],
+        tokenizer=None,
+        max_seq_len: int = 8192,
+        dtype=jnp.float32,
+    ):
+        self.llm_cfg = llm_cfg
+        self.vit_cfg = vit_cfg
+        self.params = params
+        self.tokenizer = tokenizer or ByteTokenizer()
+        self.max_seq_len = min(max_seq_len, llm_cfg.max_seq_len)
+        self.dtype = dtype
+
+        self.llm = LLM(llm_cfg)
+        self.embed = TokenEmbedding(llm_cfg)
+        self.vision = VisionTower(vit_cfg)
+
+        g = vit_cfg.grid
+        self.num_image_token = int((g * vit_cfg.downsample_ratio) ** 2)
+
+        self._vision_fn = jax.jit(
+            lambda p, tiles: self.vision.apply({"params": p["vision"]}, tiles)
+        )
+        self._prefill = jax.jit(self._prefill_impl)
+        self._decode_step = jax.jit(self._decode_impl)
+
+    # -- params init (random; converters fill real weights) ----------------
+    @classmethod
+    def init_random(cls, llm_cfg, vit_cfg, rng=None, **kw) -> "QAEngine":
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        r1, r2, r3 = jax.random.split(rng, 3)
+        llm = LLM(llm_cfg)
+        embed = TokenEmbedding(llm_cfg)
+        vision = VisionTower(vit_cfg)
+        L = 8
+        dummy_embeds = jnp.zeros((1, L, llm_cfg.hidden_size))
+        pos = jnp.zeros((1, L), jnp.int32)
+        mask = jnp.ones((1, L, L), bool)
+        params = {
+            "llm": llm.init(r1, dummy_embeds, pos, mask)["params"],
+            "embed": embed.init(r2, jnp.zeros((1, L), jnp.int32))["params"],
+            "vision": vision.init(
+                r3, jnp.zeros((1, vit_cfg.image_size, vit_cfg.image_size, 3))
+            )["params"],
+        }
+        return cls(llm_cfg, vit_cfg, params, **kw)
+
+    # -- jitted internals ---------------------------------------------------
+    def _prefill_impl(self, params, embeds, length, cache):
+        """embeds [1, Lp, D]; causal mask limited to `length` real tokens."""
+        Lp = embeds.shape[1]
+        pos = jnp.arange(Lp)[None]
+        idx = jnp.arange(Lp)
+        causal = idx[None, :, None] >= idx[None, None, :]
+        valid = idx[None, None, :] < length
+        mask = causal & valid  # prefill attends over the Lp prompt tokens only
+        logits, new_cache = self.llm.apply(
+            {"params": params["llm"]},
+            embeds,
+            pos,
+            mask,
+            cache=None,
+            cache_index=None,
+        )
+        # copy prefill kv into the persistent cache
+        filled = []
+        for (ck, cv), (nk, nv) in zip(cache, new_cache):
+            ck = jax.lax.dynamic_update_slice(
+                ck, nk.astype(ck.dtype), (0, 0, 0, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cv, nv.astype(cv.dtype), (0, 0, 0, 0)
+            )
+            filled.append((ck, cv))
+        last = logits[jnp.arange(1), length - 1]
+        return last, filled
+
+    def _decode_impl(self, params, cache, token, position):
+        """token [1] int32; position [] int32."""
+        embeds = self.embed.apply(
+            {"params": params["embed"]}, token[:, None]
+        )
+        S = cache[0][0].shape[2]
+        mask = (jnp.arange(S)[None, None, :] <= position)
+        logits, new_cache = self.llm.apply(
+            {"params": params["llm"]},
+            embeds,
+            position[None, None] if position.ndim == 0 else position[None],
+            mask,
+            cache=cache,
+            cache_index=position,
+        )
+        return logits[:, 0], new_cache
+
+    # -- prompt assembly ----------------------------------------------------
+    def build_prompt_ids(self, question: str, num_patches_list: List[int]):
+        """Token ids with IMG_CONTEXT spans per tile (parity with the
+        reference's "FrameN: <image>\n" prefix, qa.py:221-222)."""
+        tok = self.tokenizer
+        ids: List[int] = [tok.BOS]
+        img_positions: List[int] = []
+        for i, n_tiles in enumerate(num_patches_list):
+            ids.extend(tok.encode(f"Frame{i + 1}: "))
+            ids.append(tok.IM_START)
+            for _ in range(n_tiles * self.num_image_token):
+                img_positions.append(len(ids))
+                ids.append(tok.IMG_CONTEXT)
+            ids.append(tok.IM_END)
+            ids.extend(tok.encode("\n"))
+        ids.extend(tok.encode(question))
+        return ids, img_positions
+
+    # -- public chat API ----------------------------------------------------
+    def chat(
+        self,
+        tiles: np.ndarray,              # [n_tiles, S, S, 3] normalized
+        question: str,
+        gen: Optional[GenerationConfig] = None,
+        num_patches_list: Optional[List[int]] = None,
+        rng: Optional[jax.Array] = None,
+    ) -> str:
+        gen = gen or GenerationConfig()
+        if num_patches_list is None:
+            num_patches_list = [tiles.shape[0]]
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        vision_tokens = self._vision_fn(
+            self.params, jnp.asarray(tiles, self.dtype)
+        )  # [n_tiles, tok, D]
+        vision_tokens = vision_tokens.reshape(-1, vision_tokens.shape[-1])
+
+        ids, img_positions = self.build_prompt_ids(question, num_patches_list)
+        assert len(img_positions) == vision_tokens.shape[0], (
+            len(img_positions), vision_tokens.shape)
+        length = len(ids)
+        Lp = _bucket(length)
+        max_total = min(self.max_seq_len, Lp + gen.max_new_tokens)
+
+        ids_arr = np.zeros((1, Lp), np.int32)
+        ids_arr[0, :length] = ids
+        embeds = self.embed.apply(
+            {"params": self.params["embed"]}, jnp.asarray(ids_arr)
+        ).astype(self.dtype)
+        if img_positions:
+            embeds = embeds.at[0, jnp.asarray(img_positions)].set(
+                vision_tokens.astype(self.dtype)
+            )
+
+        cache = init_kv_cache(self.llm_cfg, 1, max_total, self.dtype)
+        logits, cache = self._prefill(
+            self.params, embeds, jnp.asarray(length), cache
+        )
+
+        tok = self.tokenizer
+        out_ids: List[int] = []
+        position = length
+        last_logits = logits
+        for _ in range(gen.max_new_tokens):
+            if position >= max_total:
+                break
+            next_id = self._sample(np.asarray(last_logits)[0], gen, rng)
+            rng, _ = jax.random.split(rng)
+            if next_id in (tok.EOS, tok.IM_END):
+                break
+            out_ids.append(int(next_id))
+            last_logits, cache = self._decode_step(
+                self.params, cache, jnp.asarray([next_id], jnp.int32),
+                jnp.asarray(position, jnp.int32),
+            )
+            position += 1
+        return self.tokenizer.decode(out_ids)
+
+    @staticmethod
+    def _sample(logits: np.ndarray, gen: GenerationConfig, rng) -> int:
+        if not gen.do_sample or gen.temperature <= 0:
+            return int(np.argmax(logits))
+        logits = logits.astype(np.float64) / max(gen.temperature, 0.01)
+        probs = np.exp(logits - logits.max())
+        probs /= probs.sum()
+        if gen.top_p < 1.0:
+            order = np.argsort(-probs)
+            cum = np.cumsum(probs[order])
+            cutoff = cum > gen.top_p
+            if cutoff.any():
+                first = int(np.argmax(cutoff))
+                mask = np.ones_like(probs, bool)
+                mask[order[first + 1 :]] = False
+                probs = probs * mask
+                probs /= probs.sum()
+        seed = int(jax.random.randint(rng, (), 0, 2**31 - 1))
+        return int(np.random.RandomState(seed).choice(len(probs), p=probs))

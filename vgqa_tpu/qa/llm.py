@@ -1,0 +1,201 @@
+"""Decoder-only LLM for the VideoQA path (flax, from scratch).
+
+The reference serves InternVideo2.5-Chat-8B through HF ``AutoModel`` with
+``trust_remote_code`` and ``device_map="auto"``
+(/root/reference/vgqa/inference/qa.py:156-189) — remote PyTorch code on
+GPUs. Here the language tower is implemented natively: an InternLM2/Llama
+family decoder (RMSNorm, SwiGLU MLP, rotary positions, grouped-query
+attention) designed for TPU serving:
+
+* static-shape prefill over the full padded prompt (one MXU-heavy program),
+* single-token decode steps against a preallocated KV cache laid out
+  [layers, batch, kv_heads, max_len, head_dim] so each step is a batched
+  matvec + cache update with no reshapes,
+* everything jittable; sampling runs on host for flexible top-p.
+
+Weights load from converted HF checkpoints via tools/convert_weights.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+@dataclass(frozen=True)
+class LLMConfig:
+    vocab_size: int = 92553           # InternLM2.5-7B vocab
+    hidden_size: int = 4096
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    intermediate_size: int = 14336
+    rope_theta: float = 1000000.0
+    rms_eps: float = 1e-5
+    max_seq_len: int = 16384
+    tie_embeddings: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @classmethod
+    def internlm2_5_7b(cls) -> "LLMConfig":
+        return cls()
+
+    @classmethod
+    def tiny(cls) -> "LLMConfig":
+        return cls(
+            vocab_size=256, hidden_size=64, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=128, max_seq_len=512,
+            rope_theta=10000.0,
+        )
+
+
+def rotary_embedding(positions: jnp.ndarray, head_dim: int, theta: float):
+    """cos/sin tables for the given positions. positions: [...,]"""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # [..., hd/2]
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
+    """x: [..., L, H, D]; cos/sin: [..., L, D/2] broadcast over heads."""
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    c = cos[..., None, :]
+    s = sin[..., None, :]
+    return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        return (x * jax.lax.rsqrt(var + self.eps)).astype(x.dtype) * scale
+
+
+class DecoderLayer(nn.Module):
+    cfg: LLMConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,               # [B, L, D]
+        positions: jnp.ndarray,       # [B, L]
+        attn_mask: jnp.ndarray,       # [B, L, S] True = attend
+        cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # (k, v) [B, KVH, S, hd]
+        cache_index: Optional[jnp.ndarray] = None,
+    ):
+        c = self.cfg
+        hd = c.head_dim
+        B, L, _ = x.shape
+
+        h = RMSNorm(c.rms_eps, name="attn_norm")(x)
+        q = nn.Dense(c.num_heads * hd, use_bias=False, name="q_proj")(h)
+        k = nn.Dense(c.num_kv_heads * hd, use_bias=False, name="k_proj")(h)
+        v = nn.Dense(c.num_kv_heads * hd, use_bias=False, name="v_proj")(h)
+        q = q.reshape(B, L, c.num_heads, hd)
+        k = k.reshape(B, L, c.num_kv_heads, hd)
+        v = v.reshape(B, L, c.num_kv_heads, hd)
+
+        cos, sin = rotary_embedding(positions, hd, c.rope_theta)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        if cache is not None:
+            ck, cv = cache  # [B, KVH, S, hd]
+            k_t = k.transpose(0, 2, 1, 3)
+            v_t = v.transpose(0, 2, 1, 3)
+            ck = jax.lax.dynamic_update_slice(
+                ck, k_t.astype(ck.dtype), (0, 0, cache_index, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cv, v_t.astype(cv.dtype), (0, 0, cache_index, 0)
+            )
+            keys, values = ck, cv
+            new_cache = (ck, cv)
+        else:
+            keys = k.transpose(0, 2, 1, 3)
+            values = v.transpose(0, 2, 1, 3)
+            new_cache = (keys, values)
+
+        # grouped-query: repeat kv heads across the query-head groups
+        group = c.num_heads // c.num_kv_heads
+        qh = q.transpose(0, 2, 1, 3).reshape(B, c.num_kv_heads, group, L, hd)
+        logits = jnp.einsum(
+            "bkgld,bksd->bkgls", qh, keys, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(hd).astype(jnp.float32)
+        logits = jnp.where(attn_mask[:, None, None], logits, -1e30)
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum(
+            "bkgls,bksd->bkgld", probs, values, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        ctx = ctx.reshape(B, c.num_heads, L, hd).transpose(0, 2, 1, 3)
+        ctx = ctx.reshape(B, L, c.num_heads * hd)
+        x = x + nn.Dense(c.hidden_size, use_bias=False, name="o_proj")(ctx)
+
+        h = RMSNorm(c.rms_eps, name="mlp_norm")(x)
+        gate = nn.Dense(c.intermediate_size, use_bias=False, name="gate_proj")(h)
+        up = nn.Dense(c.intermediate_size, use_bias=False, name="up_proj")(h)
+        down = nn.Dense(c.hidden_size, use_bias=False, name="down_proj")(
+            nn.silu(gate) * up
+        )
+        return x + down, new_cache
+
+
+class LLM(nn.Module):
+    cfg: LLMConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_embeds: jnp.ndarray,    # [B, L, D] (embedding lookup is external
+                                      #  so visual tokens can be spliced in)
+        positions: jnp.ndarray,       # [B, L]
+        attn_mask: jnp.ndarray,       # [B, L, S]
+        cache: Optional[Any] = None,  # list of per-layer (k, v) or None
+        cache_index: Optional[jnp.ndarray] = None,
+    ):
+        c = self.cfg
+        x = input_embeds
+        new_cache = []
+        for i in range(c.num_layers):
+            layer_cache = cache[i] if cache is not None else None
+            x, kv = DecoderLayer(c, name=f"layer_{i}")(
+                x, positions, attn_mask, layer_cache, cache_index
+            )
+            new_cache.append(kv)
+        x = RMSNorm(c.rms_eps, name="final_norm")(x)
+        logits = nn.Dense(c.vocab_size, use_bias=False, name="lm_head")(x)
+        return logits, new_cache
+
+
+class TokenEmbedding(nn.Module):
+    cfg: LLMConfig
+
+    @nn.compact
+    def __call__(self, token_ids: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        token_ids = jnp.clip(token_ids, 0, c.vocab_size - 1)
+        return nn.Embed(c.vocab_size, c.hidden_size, name="tok_embeddings")(
+            token_ids
+        )
+
+
+def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    return [
+        (
+            jnp.zeros((batch, cfg.num_kv_heads, max_len, cfg.head_dim), dtype),
+            jnp.zeros((batch, cfg.num_kv_heads, max_len, cfg.head_dim), dtype),
+        )
+        for _ in range(cfg.num_layers)
+    ]

@@ -1,0 +1,108 @@
+"""Image tiling + normalization for the QA vision tower (host, numpy/cv2).
+
+Parity with the reference's InternVL preprocessing
+(/root/reference/vgqa/inference/qa.py:45-153): dynamic aspect-ratio tiling
+into 448px tiles plus an optional thumbnail, bicubic resize, ImageNet
+normalization, and bounded segment frame sampling.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def find_closest_aspect_ratio(
+    aspect_ratio: float,
+    target_ratios: List[Tuple[int, int]],
+    width: int,
+    height: int,
+    image_size: int,
+) -> Tuple[int, int]:
+    """Parity with qa.py:45-67."""
+    best_diff = float("inf")
+    best = (1, 1)
+    area = width * height
+    for ratio in target_ratios:
+        target = ratio[0] / ratio[1]
+        diff = abs(aspect_ratio - target)
+        if diff < best_diff:
+            best_diff = diff
+            best = ratio
+        elif diff == best_diff:
+            if area > 0.5 * image_size * image_size * ratio[0] * ratio[1]:
+                best = ratio
+    return best
+
+
+def dynamic_tile(
+    image: np.ndarray,
+    min_num: int = 1,
+    max_num: int = 6,
+    image_size: int = 448,
+    use_thumbnail: bool = True,
+) -> np.ndarray:
+    """Split an RGB uint8 image into aspect-matched tiles
+    (parity with _dynamic_preprocess, qa.py:70-120).
+    Returns [n_tiles, image_size, image_size, 3] uint8."""
+    h, w = image.shape[:2]
+    aspect = w / h
+    ratios = sorted(
+        {
+            (i, j)
+            for n in range(min_num, max_num + 1)
+            for i in range(1, n + 1)
+            for j in range(1, n + 1)
+            if min_num <= i * j <= max_num
+        },
+        key=lambda x: x[0] * x[1],
+    )
+    rw, rh = find_closest_aspect_ratio(aspect, ratios, w, h, image_size)
+    tw, th = image_size * rw, image_size * rh
+    resized = cv2.resize(image, (tw, th), interpolation=cv2.INTER_CUBIC)
+    tiles = []
+    for i in range(rw * rh):
+        x0 = (i % rw) * image_size
+        y0 = (i // rw) * image_size
+        tiles.append(resized[y0 : y0 + image_size, x0 : x0 + image_size])
+    if use_thumbnail and len(tiles) != 1:
+        tiles.append(
+            cv2.resize(image, (image_size, image_size), interpolation=cv2.INTER_CUBIC)
+        )
+    return np.stack(tiles)
+
+
+def normalize_tiles(tiles: np.ndarray) -> np.ndarray:
+    """uint8 [N, S, S, 3] -> normalized float32."""
+    return (tiles.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def load_video_tiles(
+    video_path: str,
+    bound: Optional[Tuple[float, float]] = None,
+    input_size: int = 448,
+    max_num: int = 1,
+    num_segments: int = 32,
+):
+    """Video -> stacked normalized tiles + per-frame tile counts
+    (parity with _load_video, qa.py:123-153)."""
+    from ..data.video_io import frame_indices_with_bound, read_frames, video_info
+
+    total, fps, _, _ = video_info(video_path)
+    ids = frame_indices_with_bound(bound, fps, total - 1, num_segments)
+    ids = np.clip(ids, 0, total - 1)
+    frames = read_frames(video_path, [int(i) for i in ids])
+    tiles_list = []
+    num_patches = []
+    for frame in frames:
+        tiles = dynamic_tile(
+            frame, image_size=input_size, use_thumbnail=True, max_num=max_num
+        )
+        tiles_list.append(normalize_tiles(tiles))
+        num_patches.append(tiles.shape[0])
+    return np.concatenate(tiles_list, axis=0), num_patches

@@ -1,0 +1,147 @@
+"""Optimizer factory: per-module learning-rate groups + functional schedule.
+
+Parity with /root/reference/vgqa/training/optimizer.py:18-58 (five param
+groups selected by name-match) and the per-step functional schedule
+adjust_learning_rate (/root/reference/vgqa/training/scheduler.py:188-226),
+expressed as one ``optax.multi_transform``: the schedule lives inside each
+group's AdamW as a step-callable, so the whole update is part of the jitted
+train step (the reference mutates optimizer.param_groups on the host every
+iteration).
+
+Freezing is part of the same labeling: parameters the reference never
+updates (Swin when FREEZE, RoBERTa when FREEZE, the ResNet stem+layer1 and
+all FrozenBatchNorm stats — backbone.py:70-77) map to a ``set_to_zero``
+transform instead of relying on stop_gradient.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+GROUPS = ("rest", "vis", "text", "temp", "clas", "frozen")
+
+
+def label_params(params, freeze_swin: bool = True, freeze_text: bool = False):
+    """Assign each param leaf a group label by its tree path.
+
+    Mirrors the name-matching of make_optimizer
+    (/root/reference/vgqa/training/optimizer.py:21-30):
+      vis_encoder -> 'vis', text_encoder -> 'text',
+      ground_decoder.time_decoder -> 'temp', *_clas -> 'clas', else 'rest'.
+    """
+
+    def label_one(path) -> str:
+        keys = [getattr(k, "key", str(k)) for k in path]
+        top = keys[1] if keys and keys[0] == "params" else keys[0]
+        joined = "/".join(keys)
+        if top in ("vid", "vid_stub"):
+            return "frozen" if freeze_swin else "rest"
+        if top == "vis_encoder":
+            # stem + layer1 always frozen; FrozenBN affine always frozen
+            if any(k in ("conv1", "bn1") for k in keys[2:3]):
+                return "frozen"
+            if any(k.startswith("layer1_") for k in keys):
+                return "frozen"
+            if any(k.startswith("bn") or k == "downsample_bn" for k in keys):
+                return "frozen"
+            return "vis"
+        if top == "text_encoder":
+            return "frozen" if freeze_text else "text"
+        if "time_decoder" in keys and top == "ground_decoder":
+            return "temp"
+        if top.endswith("_clas"):
+            return "clas"
+        del joined
+        return "rest"
+
+    return jax.tree_util.tree_map_with_path(lambda p, _: label_one(p), params)
+
+
+def make_schedule(cfg, max_iter: int, group: str) -> Callable:
+    """Per-step LR for one group, parity with adjust_learning_rate
+    (/root/reference/vgqa/training/scheduler.py:188-226)."""
+    s = cfg.SOLVER
+    base = {
+        "rest": s.BASE_LR,
+        "vis": s.VIS_BACKBONE_LR,
+        "text": s.TEXT_LR,
+        "temp": s.TEMP_LR,
+        "clas": s.VERB_LR,
+    }[group]
+    warmup = max(1, round(s.WARMUP_PROP * max_iter))
+    iter_per_epoch = max(1, round(max_iter / s.MAX_EPOCH))
+    drop_steps = jnp.asarray(list(s.SCHEDULE.DROP_STEP), jnp.int32)
+    sched_type = s.SCHEDULE.TYPE
+
+    def schedule(step):
+        # optax passes the number of completed updates (0 on the first);
+        # the reference steps once at the base LR and adjusts afterwards
+        # with a 1-based counter (train.py:216-219), so shift by one.
+        step = jnp.asarray(step, jnp.float32) + 1.0
+        epoch = jnp.floor(step / iter_per_epoch)
+        n_drops = jnp.sum(epoch >= drop_steps.astype(jnp.float32))
+        multistep = 0.1 ** n_drops.astype(jnp.float32)
+        warm = step / warmup
+        lin_decay = jnp.maximum(
+            0.0, (max_iter - step) / max(1, max_iter - warmup)
+        )
+        if sched_type == "multistep_with_warmup_all":
+            gamma = jnp.where(step < warmup, warm, multistep)
+        elif sched_type == "multistep_with_warmup":
+            if group in ("text", "temp"):
+                gamma = jnp.where(step < warmup, warm, lin_decay)
+            else:
+                gamma = multistep
+        else:
+            raise ValueError(f"Unsupported schedule type: {sched_type}")
+        return base * gamma
+
+    return schedule
+
+
+def make_optimizer(
+    cfg, params, max_iter: int
+) -> Tuple[optax.GradientTransformation, Any]:
+    """Build the grouped optimizer. Returns (tx, labels_tree)."""
+    s = cfg.SOLVER
+    labels = label_params(
+        params,
+        freeze_swin=cfg.MODEL.VIDEO_SWIN.FREEZE,
+        freeze_text=cfg.MODEL.TEXT_MODEL.FREEZE,
+    )
+
+    def group_tx(group: str) -> optax.GradientTransformation:
+        if group == "frozen":
+            return optax.set_to_zero()
+        lr = make_schedule(cfg, max_iter, group)
+        opt = s.OPTIMIZER
+        if opt == "adamw":
+            return optax.adamw(lr, weight_decay=s.WEIGHT_DECAY)
+        if opt == "adam":
+            return optax.adam(lr)
+        if opt == "sgd":
+            return optax.sgd(lr, momentum=s.MOMENTUM)
+        if opt == "rmsprop":
+            return optax.rmsprop(lr, momentum=s.MOMENTUM)
+        raise ValueError(f"Unsupported optimizer type: {opt}")
+
+    transforms = {g: group_tx(g) for g in GROUPS}
+    tx = optax.multi_transform(transforms, labels)
+    if s.MAX_GRAD_NORM > 0:
+        tx = optax.chain(optax.clip_by_global_norm(s.MAX_GRAD_NORM), tx)
+    return tx, labels
+
+
+def update_ema(params, ema_params, decay: float):
+    """EMA of trainable weights (parity with update_ema,
+    /root/reference/vgqa/training/optimizer.py:6-15)."""
+    return jax.tree.map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+        ema_params,
+        params,
+    )
