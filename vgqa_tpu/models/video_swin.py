@@ -64,44 +64,60 @@ def window_reverse(
     return x.reshape(B, D, H, W, -1)
 
 
-def _relative_position_index(window: Tuple3) -> np.ndarray:
-    """Pairwise relative-position bias index [N, N] (numpy, trace-time)."""
+def _relative_position_index(window: Tuple3) -> jnp.ndarray:
+    """Pairwise relative-position bias index [N, N].
+
+    Built with on-device iota arithmetic: a baked numpy constant of N^2 ints
+    per block would bloat the serialized program (this environment streams
+    HLO through a size-limited remote-compile tunnel)."""
     wd, wh, ww = window
-    coords = np.stack(
-        np.meshgrid(np.arange(wd), np.arange(wh), np.arange(ww), indexing="ij")
-    ).reshape(3, -1)
-    rel = coords[:, :, None] - coords[:, None, :]
-    rel = rel.transpose(1, 2, 0)
-    rel[:, :, 0] += wd - 1
-    rel[:, :, 1] += wh - 1
-    rel[:, :, 2] += ww - 1
-    rel[:, :, 0] *= (2 * wh - 1) * (2 * ww - 1)
-    rel[:, :, 1] *= 2 * ww - 1
-    return rel.sum(-1)
+    n = wd * wh * ww
+    flat = jnp.arange(n)
+    d = flat // (wh * ww)
+    h = (flat // ww) % wh
+    w = flat % ww
+
+    def rel(c, extent):
+        return c[:, None] - c[None, :] + (extent - 1)
+
+    return (
+        rel(d, wd) * (2 * wh - 1) * (2 * ww - 1)
+        + rel(h, wh) * (2 * ww - 1)
+        + rel(w, ww)
+    )
+
+
+def _region_ids(extent: int, window: int, shift: int) -> jnp.ndarray:
+    """Per-coordinate SW-MSA region id along one axis (0/1/2)."""
+    idx = jnp.arange(extent)
+    if shift == 0:
+        return jnp.zeros((extent,), jnp.int32)
+    r = jnp.where(idx < extent - window, 0, jnp.where(idx < extent - shift, 1, 2))
+    return r.astype(jnp.int32)
 
 
 def compute_shift_mask(
     dims_padded: Tuple3, window: Tuple3, shift: Tuple3
-) -> np.ndarray | None:
+) -> jnp.ndarray | None:
     """Region mask for SW-MSA: [nW, N, N] additive (-100 blocked / 0 pass).
 
-    Numpy-at-trace-time equivalent of compute_mask
-    (video_swin_transformer.py:302-315)."""
+    On-device equivalent of compute_mask
+    (video_swin_transformer.py:302-315): region ids are composed from 1-D
+    iotas and the pairwise inequality is computed in-graph, so the program
+    carries no [nW, N, N] literal (which reaches hundreds of MB at the
+    64-frame 224px scale)."""
     if not any(shift):
         return None
     Dp, Hp, Wp = dims_padded
-    img = np.zeros((Dp, Hp, Wp), dtype=np.int32)
-    cnt = 0
-    for d in (slice(0, -window[0]), slice(-window[0], -shift[0]), slice(-shift[0] or None, None)):
-        for h in (slice(0, -window[1]), slice(-window[1], -shift[1]), slice(-shift[1] or None, None)):
-            for w in (slice(0, -window[2]), slice(-window[2], -shift[2]), slice(-shift[2] or None, None)):
-                img[d, h, w] = cnt
-                cnt += 1
     wd, wh, ww = window
-    img = img.reshape(Dp // wd, wd, Hp // wh, wh, Wp // ww, ww)
-    img = img.transpose(0, 2, 4, 1, 3, 5).reshape(-1, wd * wh * ww)
-    mask = (img[:, None, :] != img[:, :, None]).astype(np.float32) * -100.0
-    return mask
+    region = (
+        _region_ids(Dp, wd, shift[0])[:, None, None] * 9
+        + _region_ids(Hp, wh, shift[1])[None, :, None] * 3
+        + _region_ids(Wp, ww, shift[2])[None, None, :]
+    )
+    region = region.reshape(Dp // wd, wd, Hp // wh, wh, Wp // ww, ww)
+    region = region.transpose(0, 2, 4, 1, 3, 5).reshape(-1, wd * wh * ww)
+    return (region[:, None, :] != region[:, :, None]).astype(jnp.float32) * -100.0
 
 
 class WindowAttention3D(nn.Module):
@@ -123,7 +139,7 @@ class WindowAttention3D(nn.Module):
             nn.initializers.truncated_normal(0.02),
             ((2 * wd - 1) * (2 * wh - 1) * (2 * ww - 1), self.num_heads),
         )
-        index = jnp.asarray(_relative_position_index(self.window).reshape(-1))
+        index = _relative_position_index(self.window).reshape(-1)
         bias = table[index].reshape(N, N, self.num_heads).transpose(2, 0, 1)  # [H, N, N]
 
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
@@ -190,7 +206,6 @@ class SwinBlock3D(nn.Module):
         if any(shift):
             h = jnp.roll(h, shift=(-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
             mask = compute_shift_mask((Dp, Hp, Wp), window, shift)
-            mask = jnp.asarray(mask) if mask is not None else None
         else:
             mask = None
 
