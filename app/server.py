@@ -1,0 +1,282 @@
+"""VGQA web interface.
+
+Parity with the reference FastAPI app (/root/reference/app/server.py:45-298)
+on the Python stdlib (FastAPI/uvicorn are not available here): same
+endpoints — GET /api/health, /api/videos, /api/meta, POST /api/predict,
+/api/qa, /api/generate-queries — same path-traversal-safe video resolution
+(server.py:57-63), the same single-flight accelerator lock returning 409
+when busy (server.py:53,149-150), and static SPA + /videos mounts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+from urllib.parse import parse_qs, urlparse
+
+PROJECT_ROOT = Path(__file__).resolve().parents[1]
+if str(PROJECT_ROOT) not in sys.path:
+    sys.path.insert(0, str(PROJECT_ROOT))
+
+from vgqa_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
+DEFAULT_VIDEOS = PROJECT_ROOT / "videos"
+VIDEOS_ROOT = Path(os.getenv("VGQA_VIDEOS_DIR", str(DEFAULT_VIDEOS))).resolve()
+STATIC_DIR = Path(__file__).resolve().parent / "static"
+
+GROUNDING_CONFIG = os.getenv("VGQA_GROUNDING_CONFIG", "configs/grounding_vidstg.yaml")
+GROUNDING_CKPT = os.getenv("VGQA_GROUNDING_CKPT", "checkpoints/grounding/vidstg")
+QA_MODEL_DIR = os.getenv("VGQA_QA_MODEL_DIR", "checkpoints/qa/InternVideo2_5_Chat_8B")
+
+# single concurrent inference (accelerator protection)
+_infer_lock = threading.Lock()
+
+
+class HTTPError(Exception):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+        self.message = message
+
+
+def _safe_join_video(name: str) -> Path:
+    p = (VIDEOS_ROOT / name).resolve()
+    if not str(p).startswith(str(VIDEOS_ROOT)):
+        raise HTTPError(400, "Invalid path")
+    if not p.exists() or not p.is_file():
+        raise HTTPError(404, "Video not found")
+    return p
+
+
+def _list_videos_in(dir_path: Optional[str]) -> List[str]:
+    base = VIDEOS_ROOT if not dir_path else (VIDEOS_ROOT / dir_path)
+    base = base.resolve()
+    if not str(base).startswith(str(VIDEOS_ROOT)):
+        raise HTTPError(400, "Invalid directory")
+    if not base.exists():
+        return []
+    exts = {".mp4", ".avi", ".mov", ".mkv", ".webm"}
+    return sorted(
+        f.name for f in base.iterdir() if f.is_file() and f.suffix.lower() in exts
+    )
+
+
+def _video_meta(path: Path) -> Dict[str, Any]:
+    from vgqa_tpu.data.video_io import video_info
+
+    total, fps, w, h = video_info(str(path))
+    return {"fps": fps, "total_frames": total, "width": w, "height": h}
+
+
+def _parse_queries_from_answer(answer: str) -> List[str]:
+    """Parity with server.py:257-291."""
+    queries: List[str] = []
+    patterns = [r"^\d+[\.)]\s*(.+)$", r"^[-•]\s*(.+)$"]
+    for line in answer.split("\n"):
+        line = line.strip()
+        if not line:
+            continue
+        for pattern in patterns:
+            m = re.match(pattern, line)
+            if m:
+                q = m.group(1).strip().strip("\"'.,:")
+                if q and len(q) > 5:
+                    queries.append(q)
+                break
+    if not queries and answer:
+        for sentence in re.split(r"[.!?]\s+", answer):
+            sentence = sentence.strip()
+            if 10 < len(sentence) < 100:
+                queries.append(sentence)
+    return queries[:20]
+
+
+def _with_lock(fn):
+    if not _infer_lock.acquire(blocking=False):
+        raise HTTPError(409, "Another inference is in progress. Please wait.")
+    try:
+        return fn()
+    finally:
+        _infer_lock.release()
+
+
+# -- endpoint implementations (pure functions for testability) --------------
+def handle_health() -> Dict[str, Any]:
+    return {"ok": True}
+
+
+def handle_videos(dir_path: Optional[str]) -> Dict[str, Any]:
+    return {"directory": str(VIDEOS_ROOT), "files": _list_videos_in(dir_path)}
+
+
+def handle_meta(video: str) -> Dict[str, Any]:
+    return _video_meta(_safe_join_video(video))
+
+
+def handle_predict(body: Dict[str, Any]) -> Dict[str, Any]:
+    path = _safe_join_video(body["video"])
+    meta = _video_meta(path)
+
+    def run():
+        from vgqa_tpu.inference.grounding import predict as stvg_predict
+
+        return stvg_predict(str(path), body["query"], GROUNDING_CONFIG,
+                            GROUNDING_CKPT)
+
+    res = _with_lock(run)
+    return {
+        "video": {"name": path.name, "url": f"/videos/{path.name}"},
+        "meta": meta,
+        "result": res,
+    }
+
+
+def handle_qa(body: Dict[str, Any]) -> Dict[str, Any]:
+    path = _safe_join_video(body["video"])
+    bound = None
+    if body.get("bound_start") is not None and body.get("bound_end") is not None:
+        bound = (body["bound_start"], body["bound_end"])
+
+    def run():
+        from vgqa_tpu.inference.qa import predict as qa_predict
+
+        return qa_predict(
+            str(path),
+            body["question"],
+            bound=bound,
+            model_dir=QA_MODEL_DIR,
+            num_frames=body.get("num_frames", 32),
+            max_new_tokens=body.get("max_tokens", 256),
+        )
+
+    return _with_lock(run)
+
+
+def handle_generate_queries(body: Dict[str, Any]) -> Dict[str, Any]:
+    path = _safe_join_video(body["video"])
+    question = (
+        f"Generate {body.get('num_queries', 10)} text queries for video "
+        "grounding. Each query should be a short phrase describing a visible "
+        "action (e.g., 'a person walking to the left', 'a red ball rolling', "
+        "'someone waving hand'). List them numbered."
+    )
+
+    def run():
+        from vgqa_tpu.inference.qa import predict as qa_predict
+
+        return qa_predict(
+            str(path),
+            question,
+            bound=None,
+            model_dir=QA_MODEL_DIR,
+            num_frames=body.get("num_frames", 64),
+            max_new_tokens=body.get("max_tokens", 300),
+        )
+
+    res = _with_lock(run)
+    answer = res.get("answer", "")
+    return {"queries": _parse_queries_from_answer(answer), "raw_answer": answer}
+
+
+# -- stdlib HTTP plumbing ----------------------------------------------------
+class Handler(BaseHTTPRequestHandler):
+    server_version = "VGQA/0.1"
+
+    def _send_json(self, obj: Any, status: int = 200):
+        data = json.dumps(obj).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _send_file(self, path: Path, content_type: str):
+        data = path.read_bytes()
+        self.send_response(200)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, fmt, *args):  # quiet by default
+        if os.getenv("VGQA_SERVER_VERBOSE"):
+            super().log_message(fmt, *args)
+
+    def do_GET(self):
+        url = urlparse(self.path)
+        q = {k: v[0] for k, v in parse_qs(url.query).items()}
+        try:
+            if url.path in ("/", "/app", "/app/"):
+                index = STATIC_DIR / "index.html"
+                if index.exists():
+                    return self._send_file(index, "text/html")
+                return self._send_json(
+                    {"message": "Static UI not found. Visit /app if configured."}
+                )
+            if url.path == "/api/health":
+                return self._send_json(handle_health())
+            if url.path == "/api/videos":
+                return self._send_json(handle_videos(q.get("dir")))
+            if url.path == "/api/meta":
+                if "video" not in q:
+                    raise HTTPError(422, "missing required query param: video")
+                return self._send_json(handle_meta(q["video"]))
+            if url.path.startswith("/videos/"):
+                p = _safe_join_video(url.path[len("/videos/") :])
+                return self._send_file(p, "video/mp4")
+            if url.path.startswith("/app/"):
+                rel = url.path[len("/app/") :]
+                p = (STATIC_DIR / rel).resolve()
+                if not str(p).startswith(str(STATIC_DIR)) or not p.exists():
+                    raise HTTPError(404, "Not found")
+                ctype = "text/html" if p.suffix == ".html" else "text/plain"
+                return self._send_file(p, ctype)
+            raise HTTPError(404, "Not found")
+        except HTTPError as e:
+            self._send_json({"detail": e.message}, e.status)
+        except Exception as e:  # pragma: no cover
+            self._send_json({"detail": f"{type(e).__name__}: {e}"}, 500)
+
+    def do_POST(self):
+        url = urlparse(self.path)
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(length) or b"{}")
+            routes = {
+                "/api/predict": (handle_predict, ("video", "query")),
+                "/api/qa": (handle_qa, ("video", "question")),
+                "/api/generate-queries": (handle_generate_queries, ("video",)),
+            }
+            if url.path not in routes:
+                raise HTTPError(404, "Not found")
+            fn, required = routes[url.path]
+            missing = [k for k in required if k not in body]
+            if missing:
+                raise HTTPError(422, f"missing required fields: {missing}")
+            return self._send_json(fn(body))
+        except HTTPError as e:
+            self._send_json({"detail": e.message}, e.status)
+        except json.JSONDecodeError:
+            self._send_json({"detail": "invalid JSON body"}, 400)
+        except FileNotFoundError as e:
+            self._send_json({"detail": str(e)}, 503)
+        except Exception as e:  # pragma: no cover
+            self._send_json({"detail": f"Inference failed: {type(e).__name__}: {e}"}, 500)
+
+
+def make_server(port: int = 8000) -> ThreadingHTTPServer:
+    return ThreadingHTTPServer(("0.0.0.0", port), Handler)
+
+
+if __name__ == "__main__":
+    port = int(os.getenv("PORT", "8000"))
+    print(f"VGQA server listening on :{port} (videos: {VIDEOS_ROOT})")
+    make_server(port).serve_forever()

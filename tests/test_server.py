@@ -1,0 +1,121 @@
+"""Drive the web app over a real socket (stdlib server)."""
+
+import json
+import os
+import threading
+import urllib.request
+import urllib.error
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    videos = tmp_path_factory.mktemp("videos")
+    from vgqa_tpu.data.synthetic import write_synthetic_video
+
+    write_synthetic_video(str(videos / "demo.mp4"), 12, (64, 48), seed=0)
+    os.environ["VGQA_VIDEOS_DIR"] = str(videos)
+    os.environ["VGQA_QA_MODEL_DIR"] = "__tiny__"
+
+    import sys
+
+    sys.path.insert(0, "app")
+    import importlib
+
+    server_mod = importlib.import_module("server")
+    # module resolved VIDEOS_ROOT at import; repoint for the test
+    server_mod.VIDEOS_ROOT = type(server_mod.VIDEOS_ROOT)(str(videos))
+    server_mod.QA_MODEL_DIR = "__tiny__"
+
+    srv = server_mod.make_server(0)
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}", server_mod
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url, body):
+    req = urllib.request.Request(
+        url, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_health(server):
+    base, _ = server
+    status, body = _get(base + "/api/health")
+    assert status == 200 and body == {"ok": True}
+
+
+def test_videos_and_meta(server):
+    base, _ = server
+    _, body = _get(base + "/api/videos")
+    assert body["files"] == ["demo.mp4"]
+    _, meta = _get(base + "/api/meta?video=demo.mp4")
+    assert meta["total_frames"] == 12 and meta["width"] == 64
+
+
+def test_meta_missing_param(server):
+    base, _ = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base + "/api/meta")
+    assert e.value.code == 422
+
+
+def test_path_traversal_blocked(server):
+    base, _ = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base + "/api/meta?video=../../../etc/passwd")
+    assert e.value.code in (400, 404)
+
+
+def test_unknown_video_404(server):
+    base, _ = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base + "/api/meta?video=nope.mp4")
+    assert e.value.code == 404
+
+
+def test_qa_endpoint(server):
+    base, _ = server
+    status, body = _post(
+        base + "/api/qa",
+        {"video": "demo.mp4", "question": "what moves?", "num_frames": 2,
+         "max_tokens": 4},
+    )
+    assert status == 200
+    assert "answer" in body
+
+
+def test_qa_missing_fields(server):
+    base, _ = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/api/qa", {"video": "demo.mp4"})
+    assert e.value.code == 422
+
+
+def test_busy_lock_409(server):
+    base, mod = server
+    assert mod._infer_lock.acquire(blocking=False)
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base + "/api/qa", {"video": "demo.mp4", "question": "?"})
+        assert e.value.code == 409
+    finally:
+        mod._infer_lock.release()
+
+
+def test_index_served(server):
+    base, _ = server
+    with urllib.request.urlopen(base + "/", timeout=30) as r:
+        html = r.read().decode()
+    assert "VGQA" in html and "runGrounding" in html
