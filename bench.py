@@ -57,8 +57,14 @@ def main():
     )
 
     @jax.jit
-    def fwd(params, video, text):
-        out = model.apply(params, video, text, train=False)
+    def fwd(params, video, text, feedback):
+        # `feedback` chains consecutive invocations through a data
+        # dependency: this environment's remote-device tunnel returns from
+        # block_until_ready before execution finishes, so timing must
+        # serialize on-device work and fetch a scalar to the host.
+        frames = video.frames + feedback.astype(video.frames.dtype)
+        chained = VideoBatch(frames, video.pixel_mask, video.time_mask)
+        out = model.apply(params, chained, text, train=False)
         sizes = jnp.asarray([[720.0, 1280.0]] * batch)
         boxes, s, e = postprocess(
             out["pred_boxes"].astype(jnp.float32),
@@ -66,18 +72,20 @@ def main():
             sizes,
             video.time_mask,
         )
-        return boxes, s, e, out["att_sequences"]
+        return boxes, s, e, out["att_sequences"], jnp.sum(boxes) * 1e-9
 
-    # warmup / compile
+    # warmup / compile (fetch forces real completion)
     t0 = time.time()
-    jax.block_until_ready(fwd(params, video, text))
+    feedback = jnp.zeros((), jnp.float32)
+    *_, feedback = fwd(params, video, text, feedback)
+    float(feedback)
     compile_s = time.time() - t0
 
     iters = 20
     t0 = time.time()
     for _ in range(iters):
-        res_out = fwd(params, video, text)
-    jax.block_until_ready(res_out)
+        *res_out, feedback = fwd(params, video, text, feedback)
+    float(feedback)  # host fetch: waits for the whole chained sequence
     dt = time.time() - t0
     clips_per_sec = batch * iters / dt
 

@@ -122,7 +122,12 @@ def compute_shift_mask(
 
 class WindowAttention3D(nn.Module):
     """W-MSA with learned relative position bias
-    (parity with video_swin_transformer.py:70-155)."""
+    (parity with video_swin_transformer.py:70-155).
+
+    ``window`` is the FULL configured window — the bias table is always
+    sized for it; when the runtime window is clamped to a smaller input the
+    index is sliced [:N, :N], exactly like the reference (:133-135), so
+    checkpoint weights stay compatible at any input size."""
 
     dim: int
     window: Tuple3
@@ -139,7 +144,7 @@ class WindowAttention3D(nn.Module):
             nn.initializers.truncated_normal(0.02),
             ((2 * wd - 1) * (2 * wh - 1) * (2 * ww - 1), self.num_heads),
         )
-        index = _relative_position_index(self.window).reshape(-1)
+        index = _relative_position_index(self.window)[:N, :N].reshape(-1)
         bias = table[index].reshape(N, N, self.num_heads).transpose(2, 0, 1)  # [H, N, N]
 
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
@@ -210,8 +215,10 @@ class SwinBlock3D(nn.Module):
             mask = None
 
         windows = window_partition(h, window)
+        # pass the FULL configured window so the bias table keeps its
+        # checkpoint-compatible size regardless of runtime clamping
         attn = WindowAttention3D(
-            self.dim, window, self.num_heads, name="attn"
+            self.dim, self.window, self.num_heads, name="attn"
         )(windows, mask)
         h = window_reverse(attn, window, B, Dp, Hp, Wp)
 
