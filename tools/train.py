@@ -90,6 +90,9 @@ class Trainer:
     def fit(self):
         c = self.cfg
         meter = MetricLogger()
+        from vgqa_tpu.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(c.TENSORBOARD_DIR)
         rng = jax.random.PRNGKey(self.seed)
         start_iter = int(self.state.step)
         loader = make_data_loader(c, "train", start_iter=start_iter,
@@ -117,6 +120,8 @@ class Trainer:
                     f"eta: {datetime.timedelta(seconds=int(eta))}  "
                     f"iter: {step} / {self.max_iter}  {meter}"
                 )
+                for k, v in metrics.items():
+                    writer.add_scalar(k, float(v), step)
             if step % c.SOLVER.CHECKPOINT_PERIOD == 0:
                 self.ckpt.save(f"model_{step:06d}", self.state)
             if c.SOLVER.TO_VAL and step % c.SOLVER.VAL_PERIOD == 0:

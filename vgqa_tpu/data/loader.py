@@ -63,8 +63,24 @@ class IterationBasedLoader:
 
     def _epoch_order(self, epoch: int):
         order = list(range(len(self.dataset)))
+        rng = random.Random(self.seed + epoch)
         if self.shuffle:
-            random.Random(self.seed + epoch).shuffle(order)
+            rng.shuffle(order)
+        if getattr(self.cfg.DATALOADER, "ASPECT_RATIO_GROUPING", False):
+            # group portrait/landscape clips so same-shape videos batch
+            # together (parity with GroupedBatchSampler,
+            # /root/reference/vgqa/data/samplers/aspect_grouped_batch_sampler.py)
+            def ratio_bucket(i):
+                item = self.dataset.items[i]
+                return 0 if item["height"] / max(item["width"], 1) < 1 else 1
+
+            buckets: dict = {}
+            for i in order:
+                buckets.setdefault(ratio_bucket(i), []).append(i)
+            groups = list(buckets.values())
+            if self.shuffle:
+                rng.shuffle(groups)
+            order = [i for g in groups for i in g]
         return order
 
     def _indices_for_iter(self, it: int):

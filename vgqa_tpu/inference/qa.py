@@ -48,12 +48,38 @@ def _load_engine(model_dir: str) -> QAEngine:
     engine = QAEngine.init_random(llm_cfg, vit_cfg, dtype=jnp.bfloat16)
     weights = os.path.join(model_dir, "params")
     if os.path.exists(weights):
+        # converted orbax checkpoint (tools/convert_weights.py qa)
         from ..training.checkpoint import CheckpointManager
 
         mgr = CheckpointManager(model_dir, save_to_disk=False)
         restored = mgr.load(engine.params, weights)
         if restored is not None:
             engine.params = restored
+    else:
+        # raw HF torch checkpoint dir -> convert in place
+        bins = [
+            f for f in os.listdir(model_dir)
+            if f.endswith(".bin") or f.endswith(".pth")
+        ]
+        if bins:
+            import torch
+
+            from ..models.convert import torch_state_dict_to_numpy
+            from ..qa.convert import convert_internvideo
+
+            sd = {}
+            for f in sorted(bins):
+                part = torch.load(
+                    os.path.join(model_dir, f), map_location="cpu",
+                    weights_only=False,
+                )
+                sd.update(torch_state_dict_to_numpy(part))
+            converted = convert_internvideo(sd, llm_cfg, vit_cfg)
+            import jax
+
+            engine.params = jax.tree.map(
+                lambda x: jnp.asarray(x, jnp.bfloat16), converted
+            )
     return engine
 
 

@@ -38,13 +38,15 @@ class EncoderLayer(nn.Module):
     num_heads: int
     ffn_dim: int
     dropout: float = 0.1
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, src, pos, mask, deterministic=True):
         q = src + pos
-        attn = MultiHeadAttention(self.num_heads, self.dropout, name="self_attn")(
-            q, q, src, key_mask=mask, deterministic=deterministic
-        )
+        attn = MultiHeadAttention(
+            self.num_heads, self.dropout, use_flash=self.use_flash,
+            name="self_attn",
+        )(q, q, src, key_mask=mask, deterministic=deterministic)
         src = src + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         src = nn.LayerNorm(name="norm1")(src)
         ffn = TransformerFFN(self.ffn_dim, src.shape[-1], self.dropout, name="ffn")(
@@ -59,6 +61,7 @@ class CrossModalEncoder(nn.Module):
     num_heads: int = 8
     ffn_dim: int = 2048
     dropout: float = 0.1
+    use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -91,7 +94,8 @@ class CrossModalEncoder(nn.Module):
         h = src
         for i in range(self.num_layers):
             h = EncoderLayer(
-                self.num_heads, self.ffn_dim, self.dropout, name=f"layer_{i}"
+                self.num_heads, self.ffn_dim, self.dropout, self.use_flash,
+                name=f"layer_{i}",
             )(h, pos, mask, deterministic)
         h = nn.LayerNorm(name="norm")(h)
 

@@ -60,6 +60,7 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     out_dim: Optional[int] = None
+    use_flash: bool = False  # fused Pallas kernel (inference path)
 
     @nn.compact
     def __call__(
@@ -76,6 +77,11 @@ class MultiHeadAttention(nn.Module):
         q = nn.Dense(d_model, name="q_proj")(query)
         k = nn.Dense(d_model, name="k_proj")(key)
         v = nn.Dense(d_model, name="v_proj")(value)
+        if self.use_flash and deterministic and not return_probs:
+            from ..ops.pallas.flash_attention import flash_mha
+
+            out = flash_mha(q, k, v, self.num_heads, key_mask=key_mask)
+            return nn.Dense(out_dim, name="out_proj")(out)
         drop: Optional[Callable] = None
         if self.dropout > 0 and not deterministic:
             dropout_mod = nn.Dropout(self.dropout)

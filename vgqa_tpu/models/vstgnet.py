@@ -59,6 +59,7 @@ class GroundingConfig:
     freeze_text: bool = False
     text: RobertaConfig = field(default_factory=RobertaConfig)
     use_aux_loss: bool = True
+    use_pallas_attention: bool = False
 
     @classmethod
     def from_cfg(cls, cfg) -> "GroundingConfig":
@@ -85,6 +86,7 @@ class GroundingConfig:
             freeze_text=m.TEXT_MODEL.FREEZE,
             text=text,
             use_aux_loss=cfg.SOLVER.USE_AUX_LOSS,
+            use_pallas_attention=cfg.TPU.USE_PALLAS_ATTENTION,
         )
 
     @classmethod
@@ -142,7 +144,8 @@ class VSTGNet(nn.Module):
         self.input_proj = nn.Dense(c.hidden, name="input_proj")
         self.input_proj2 = nn.Dense(c.hidden, name="input_proj2")
         self.ground_encoder = CrossModalEncoder(
-            c.enc_layers, c.heads, c.ffn_dim, c.dropout, name="ground_encoder"
+            c.enc_layers, c.heads, c.ffn_dim, c.dropout,
+            use_flash=c.use_pallas_attention, name="ground_encoder",
         )
         self.s_temporal_clas = TemporalSampling(name="s_temporal_clas")
         self.t_temporal_clas = TemporalSampling(name="t_temporal_clas")

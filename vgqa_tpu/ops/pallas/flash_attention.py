@@ -1,0 +1,166 @@
+"""Fused (flash) attention kernel for TPU (Pallas).
+
+Streaming-softmax attention over pre-projected q/k/v, replacing the
+materialized [Lq, Lk] probability matrix of the einsum path
+(vgqa_tpu/ops/attention.py) for the hot per-frame encoder attention —
+at 420px the cross-modal encoder attends 418 tokens per frame across 64
+frames x 8 heads (the reference's hottest block, SURVEY.md §3 "hot loops").
+
+Layout: q [B, Lq, D], k/v [B, Lk, D] with B = (videos x frames x heads)
+folded into the grid's batch axis; one program computes one (batch, q-tile)
+pair, looping over k-tiles with running max/denominator in VMEM scratch.
+The head dim is padded to the 128-lane width on entry.
+
+Numerics match dot_product_attention to ~1e-5 (see tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, blk_k, lk):
+    """One (batch, q-tile): stream over k tiles with online softmax."""
+    q = q_ref[0].astype(jnp.float32) * scale          # [blk_q, D]
+    blk_q = q.shape[0]
+    d = q.shape[1]
+
+    num_k = pl.cdiv(lk, blk_k)
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.ds(i * blk_k, blk_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * blk_k, blk_k), :].astype(jnp.float32)
+        mask = mask_ref[0, pl.ds(i * blk_k, blk_k)]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # [blk_q, blk_k]
+        s = jnp.where(mask[None, :], s, NEG_INF)
+
+        m_cur = jnp.max(s, axis=-1)                    # [blk_q]
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new[:, None])                # [blk_q, blk_k]
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1)
+        acc = acc * alpha[:, None] + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((blk_q, d), jnp.float32)
+    m0 = jnp.full((blk_q,), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((blk_q,), jnp.float32)
+    acc, _, l = jax.lax.fori_loop(0, num_k, body, (acc0, m0, l0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)[:, None]).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    blk_q: int = 128,
+    blk_k: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """q [B, Lq, D], k/v [B, Lk, D], key_mask [B, Lk] True=attend.
+
+    Returns [B, Lq, D] in q.dtype."""
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    if scale is None:
+        scale = D**-0.5
+
+    d_pad = _round_up(D, 128)
+    lq_pad = _round_up(Lq, blk_q)
+    lk_pad = _round_up(Lk, blk_k)
+
+    qp = jnp.pad(q, ((0, 0), (0, lq_pad - Lq), (0, d_pad - D)))
+    kp = jnp.pad(k, ((0, 0), (0, lk_pad - Lk), (0, d_pad - D)))
+    vp = jnp.pad(v, ((0, 0), (0, lk_pad - Lk), (0, d_pad - D)))
+    if key_mask is None:
+        key_mask = jnp.ones((B, Lk), bool)
+    maskp = jnp.pad(key_mask, ((0, 0), (0, lk_pad - Lk)))
+
+    grid = (B, lq_pad // blk_q)
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, blk_k=blk_k, lk=lk_pad
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, blk_q, d_pad), lambda b, i: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, lk_pad, d_pad), lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, lk_pad, d_pad), lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, lk_pad), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, blk_q, d_pad), lambda b, i: (b, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, lq_pad, d_pad), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, maskp)
+    return out[:, :Lq, :D]
+
+
+def flash_mha(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    key_mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in for ops.attention.dot_product_attention (no probs/dropout):
+    q [..., Lq, H*Dh], k/v [..., Lk, H*Dh], key_mask [..., Lk]."""
+    *lead, Lq, dim = q.shape
+    Lk = k.shape[-2]
+    dh = dim // num_heads
+    if scale is None:
+        scale = dh**-0.5
+    B = 1
+    for s in lead:
+        B *= s
+
+    def fold(x, L):
+        x = x.reshape(B, L, num_heads, dh)
+        return x.transpose(0, 2, 1, 3).reshape(B * num_heads, L, dh)
+
+    qf, kf, vf = fold(q, Lq), fold(k, Lk), fold(v, Lk)
+    if key_mask is not None:
+        maskf = jnp.repeat(key_mask.reshape(B, Lk), num_heads, axis=0)
+    else:
+        maskf = None
+    out = flash_attention(qf, kf, vf, maskf, scale=scale, interpret=interpret)
+    out = out.reshape(B, num_heads, Lq, dh).transpose(0, 2, 1, 3)
+    return out.reshape(*lead, Lq, dim)

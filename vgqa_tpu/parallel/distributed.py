@@ -1,0 +1,70 @@
+"""Multi-host process helpers.
+
+Replaces /root/reference/vgqa/utils/distributed.py:8-116 (NCCL process-group
+rank/world helpers, barrier, pickle all_gather, loss reduce). Under JAX's
+single-program model most of that disappears:
+
+* in-step reductions are XLA collectives inserted by sharding — no explicit
+  ``reduce_loss_dict`` (the metrics a host sees are already global),
+* host-side object merge uses ``process_allgather``,
+* barriers exist only around host-side filesystem races.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, List
+
+import jax
+
+
+def initialize_multihost() -> None:
+    """Initialize JAX's distributed runtime when launched on a multi-host
+    pod (env-driven, like the reference's env:// init at tools/train.py:382).
+    Safe to call on single-host."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        jax.distributed.initialize()
+
+
+def get_world_size() -> int:
+    return jax.process_count()
+
+
+def get_rank() -> int:
+    return jax.process_index()
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def synchronize(tag: str = "barrier") -> None:
+    """Cross-host barrier (used around dataset-cache writes, replacing
+    dist.barrier at vgqa/utils/distributed.py:36-42)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
+def all_gather_objects(obj: Any) -> List[Any]:
+    """Gather a picklable object from every process (replacing the padded
+    pickle-tensor all_gather at vgqa/utils/distributed.py:45-80)."""
+    if jax.process_count() <= 1:
+        return [obj]
+    import json
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    payload = json.dumps(obj, default=list).encode()
+    size = np.array([len(payload)], np.int64)
+    max_size = int(multihost_utils.process_allgather(size).max())
+    buf = np.zeros(max_size, np.uint8)
+    buf[: len(payload)] = np.frombuffer(payload, np.uint8)
+    gathered = multihost_utils.process_allgather(buf)
+    out = []
+    sizes = multihost_utils.process_allgather(size)
+    for row, n in zip(np.asarray(gathered), np.asarray(sizes).ravel()):
+        out.append(json.loads(bytes(row[: int(n)]).decode()))
+    return out
