@@ -80,6 +80,12 @@ def _load_model(config_path: str, ckpt_path: str):
         warnings.warn(
             f"Checkpoint not found: {ckpt_path}; using random initialization"
         )
+
+    # serve at the configured compute precision (bfloat16 by default)
+    from ..utils.dtype import cast_floating, resolve_dtype
+
+    dtype = resolve_dtype(cfg.TPU.COMPUTE_DTYPE)
+    params = cast_floating(params, dtype)
     return cfg, model, params, tokenizer
 
 
@@ -98,6 +104,9 @@ def predict(
         raise FileNotFoundError(f"Video not found: {video_path}")
 
     cfg, model, params, tokenizer = _load_model(cfg_path, ckpt_path)
+    from ..utils.dtype import resolve_dtype
+
+    compute_dtype = resolve_dtype(cfg.TPU.COMPUTE_DTYPE)
     res = cfg.INPUT.RESOLUTION
     mean = np.asarray(cfg.INPUT.PIXEL_MEAN, np.float32)
     std = np.asarray(cfg.INPUT.PIXEL_STD, np.float32)
@@ -118,7 +127,7 @@ def predict(
     for start in (0, 1):
         half_frames = frames[start::2]
         video = VideoBatch(
-            frames=jnp.asarray(half_frames[None]),
+            frames=jnp.asarray(half_frames[None]).astype(compute_dtype),
             pixel_mask=jnp.ones((1, res, res), bool),
             time_mask=jnp.ones((1, half_frames.shape[0]), bool),
         )

@@ -34,9 +34,13 @@ def build_mesh(dp: int = 0, tp: int = 1, devices=None) -> Mesh:
 
 
 # Dense kernels that grow to ffn-width (column parallel: shard output dim)
-_COL_PARALLEL = ("linear1", "intermediate", "mlp_fc1", "q_proj", "k_proj", "v_proj", "qkv")
+_COL_PARALLEL = (
+    "linear1", "intermediate", "mlp_fc1", "q_proj", "k_proj", "v_proj",
+    "qkv", "gate_proj", "up_proj", "fc1",
+)
 # Dense kernels that shrink from ffn-width (row parallel: shard input dim)
-_ROW_PARALLEL = ("linear2", "output", "mlp_fc2", "out_proj")
+_ROW_PARALLEL = ("linear2", "output", "mlp_fc2", "out_proj", "o_proj",
+                 "down_proj", "fc2")
 
 
 def _pspec_for(path, leaf, tp: int) -> P:
