@@ -77,6 +77,22 @@ class Trainer:
         if restored is not None:
             state = restored
             self.logger.info(f"Resumed at iteration {int(state.step)}")
+        elif c.MODEL.WEIGHT and os.path.exists(c.MODEL.WEIGHT):
+            # warm start from converted pretrained weights (parity with the
+            # reference's MODEL.WEIGHT load, checkpoint_manager.py:79-93)
+            loader_mgr = CheckpointManager(
+                os.path.dirname(c.MODEL.WEIGHT) or ".", save_to_disk=False
+            )
+            warm = loader_mgr.load({"params": params["params"]}, c.MODEL.WEIGHT)
+            if warm is not None:
+                state = state.replace(
+                    params={"params": warm["params"]},
+                    ema_params=(
+                        jax.tree.map(jnp.copy, {"params": warm["params"]})
+                        if c.MODEL.EMA else None
+                    ),
+                )
+                self.logger.info(f"Warm started from {c.MODEL.WEIGHT}")
         self.state = state
 
         ema_decay = c.MODEL.EMA_DECAY if c.MODEL.EMA else None

@@ -1,0 +1,1 @@
+from . import attention, position_encoding  # noqa: F401
