@@ -140,9 +140,16 @@ class Trainer:
                     writer.add_scalar(k, float(v), step)
             if step % c.SOLVER.CHECKPOINT_PERIOD == 0:
                 self.ckpt.save(f"model_{step:06d}", self.state)
+                self.ckpt.save(f"model_{step:06d}_params", self.eval_params())
             if c.SOLVER.TO_VAL and step % c.SOLVER.VAL_PERIOD == 0:
                 self.validate()
         self.ckpt.save("model_final", self.state)
+        # params-only twin for inference/evaluation loaders (EMA weights)
+        final_params = self.ckpt.save("model_final_params", self.eval_params())
+        self.ckpt._tag_last_checkpoint(
+            os.path.join(self.ckpt.output_dir, "model_final")
+        )
+        del final_params
         total = time.time() - start_time
         self.logger.info(
             f"Total training time: {datetime.timedelta(seconds=int(total))} "

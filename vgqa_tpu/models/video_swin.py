@@ -133,6 +133,7 @@ class WindowAttention3D(nn.Module):
     window: Tuple3
     num_heads: int
     qkv_bias: bool = True
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None):
@@ -149,6 +150,27 @@ class WindowAttention3D(nn.Module):
 
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        if self.use_flash:
+            # fused VMEM-resident kernel: nothing [N, N]-sized reaches HBM
+            from ..ops.pallas.window_attention import window_attention
+
+            hd = C // self.num_heads
+
+            def heads_first(t):
+                return t.reshape(B_, N, self.num_heads, hd).transpose(0, 2, 1, 3)
+
+            full_mask = None
+            if mask is not None:
+                nW = mask.shape[0]
+                full_mask = jnp.broadcast_to(
+                    mask[None], (B_ // nW, nW, N, N)
+                ).reshape(B_, N, N)
+            out = window_attention(
+                heads_first(q), heads_first(k), heads_first(v), bias, full_mask
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+            return nn.Dense(C, name="proj")(out)
 
         attn_bias = bias[None]  # [1, H, N, N]
         if mask is not None:
@@ -192,6 +214,7 @@ class SwinBlock3D(nn.Module):
     shift: Tuple3
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -218,7 +241,8 @@ class SwinBlock3D(nn.Module):
         # pass the FULL configured window so the bias table keeps its
         # checkpoint-compatible size regardless of runtime clamping
         attn = WindowAttention3D(
-            self.dim, self.window, self.num_heads, name="attn"
+            self.dim, self.window, self.num_heads, use_flash=self.use_flash,
+            name="attn",
         )(windows, mask)
         h = window_reverse(attn, window, B, Dp, Hp, Wp)
 
@@ -264,6 +288,7 @@ class VideoSwinConfig:
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.2
     patch_norm: bool = True
+    use_flash: bool = False  # fused Pallas window attention
 
     @property
     def stage_channels(self) -> Tuple[int, ...]:
@@ -334,6 +359,7 @@ class VideoSwinBackbone(nn.Module):
                     shift,
                     c.mlp_ratio,
                     float(dpr[block_idx]),
+                    c.use_flash,
                     name=f"stage{stage}_block{b}",
                 )(x, deterministic)
                 block_idx += 1

@@ -134,9 +134,12 @@ class VSTGNet(nn.Module):
         c = self.cfg
         self.vis_encoder = build_resnet(c.resnet, c.resnet_dilation)
         if c.swin:
-            self.vid = VideoSwinBackbone(
-                VIDEO_SWIN_CONFIGS[c.swin], name="vid"
+            import dataclasses
+
+            swin_cfg = dataclasses.replace(
+                VIDEO_SWIN_CONFIGS[c.swin], use_flash=c.use_pallas_attention
             )
+            self.vid = VideoSwinBackbone(swin_cfg, name="vid")
         else:
             self.vid = SwinStub(c.swin_feature_dim, name="vid_stub")
         self.text_encoder = TextEncoder(c.text, out_dim=c.hidden,

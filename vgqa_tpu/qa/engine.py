@@ -89,8 +89,9 @@ class QAEngine:
         self._vision_fn = jax.jit(
             lambda p, tiles: self.vision.apply({"params": p["vision"]}, tiles)
         )
-        self._prefill = jax.jit(self._prefill_impl)
-        self._decode_step = jax.jit(self._decode_impl)
+        self._prefill = jax.jit(self._prefill_impl, donate_argnums=(3,))
+        # donate the KV cache so each decode step updates it in place
+        self._decode_step = jax.jit(self._decode_impl, donate_argnums=(1,))
 
     # -- params init (random; converters fill real weights) ----------------
     @classmethod
