@@ -28,7 +28,6 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.attention import dot_product_attention
 
 Tuple3 = Tuple[int, int, int]
 
@@ -172,19 +171,34 @@ class WindowAttention3D(nn.Module):
             out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
             return nn.Dense(C, name="proj")(out)
 
-        attn_bias = bias[None]  # [1, H, N, N]
+        # Inline attention with *separate* broadcast adds for bias and
+        # shift mask: precombining them (bias[None,None] + mask[None,:,None])
+        # would materialize an [nW, H, N, N] tensor (~1 GB at 64f/224px);
+        # separate adds fuse into the softmax chain. Logits are stored in
+        # the compute dtype (bf16 in serving) — softmax renormalizes, so the
+        # reduced mantissa costs <1e-2 output error while halving the only
+        # quadratic HBM traffic in the tower.
+        hd = C // self.num_heads
+
+        def heads(t):
+            return t.reshape(B_, N, self.num_heads, hd).transpose(0, 2, 1, 3)
+
+        qh, kh, vh = heads(q), heads(k), heads(v)
+        logits = jnp.einsum(
+            "bhnd,bhmd->bhnm", qh, kh, preferred_element_type=jnp.float32
+        ).astype(x.dtype) * (hd**-0.5)
+        logits = logits + bias.astype(x.dtype)[None]
         if mask is not None:
             nW = mask.shape[0]
-            # fold window-id into batch: [B_/nW, nW, H, N, N]
-            q = q.reshape(B_ // nW, nW, N, C)
-            k = k.reshape(B_ // nW, nW, N, C)
-            v = v.reshape(B_ // nW, nW, N, C)
-            attn_bias = bias[None, None] + mask[None, :, None]
-            out = dot_product_attention(
-                q, k, v, self.num_heads, attn_bias=attn_bias
-            ).reshape(B_, N, C)
-        else:
-            out = dot_product_attention(q, k, v, self.num_heads, attn_bias=attn_bias)
+            logits = (
+                logits.reshape(B_ // nW, nW, self.num_heads, N, N)
+                + mask.astype(x.dtype)[None, :, None]
+            ).reshape(B_, self.num_heads, N, N)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum(
+            "bhnm,bhmd->bhnd", probs, vh, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
         return nn.Dense(C, name="proj")(out)
 
 

@@ -39,7 +39,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, blk_k, lk):
         acc, m_prev, l_prev = carry
         k = k_ref[0, pl.ds(i * blk_k, blk_k), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(i * blk_k, blk_k), :].astype(jnp.float32)
-        mask = mask_ref[0, pl.ds(i * blk_k, blk_k)]
+        mask = mask_ref[0, 0, pl.ds(i * blk_k, blk_k)]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -96,7 +96,9 @@ def flash_attention(
     vp = jnp.pad(v, ((0, 0), (0, lk_pad - Lk), (0, d_pad - D)))
     if key_mask is None:
         key_mask = jnp.ones((B, Lk), bool)
-    maskp = jnp.pad(key_mask, ((0, 0), (0, lk_pad - Lk)))
+    # carry an explicit singleton sublane dim: TPU lowering requires the
+    # block's trailing two dims be (8k, 128k) or match the array dims
+    maskp = jnp.pad(key_mask, ((0, 0), (0, lk_pad - Lk)))[:, None, :]
 
     grid = (B, lq_pad // blk_q)
     kernel = functools.partial(
@@ -119,7 +121,8 @@ def flash_attention(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, lk_pad), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+                (1, 1, lk_pad), lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
