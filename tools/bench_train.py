@@ -1,0 +1,85 @@
+"""Training-step throughput benchmark (not part of the driver contract;
+bench.py remains the single-line headline metric).
+
+Measures the full jitted train step — forward, all losses, backward,
+5-group AdamW, EMA — at the flagship 64-frame/224px scale on the attached
+chip, with the tunnel-safe chained-timing protocol.
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from vgqa_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vgqa_tpu.config import build_default_cfg
+from vgqa_tpu.models import GroundingConfig, VSTGNet, VideoSTGLoss, build_weight_dict
+from vgqa_tpu.training import create_train_state, make_optimizer, make_train_step
+from vgqa_tpu.utils.containers import TextBatch, VideoBatch
+
+
+def main():
+    cfg = build_default_cfg()
+    t, res, l = cfg.INPUT.TRAIN_SAMPLE_NUM, cfg.INPUT.RESOLUTION, cfg.INPUT.MAX_QUERY_LEN
+    model = VSTGNet(GroundingConfig.from_cfg(cfg))
+    rng = np.random.RandomState(0)
+    video = VideoBatch(
+        frames=jnp.asarray(rng.randn(1, t, res, res, 3).astype(np.float32) * 0.1),
+        pixel_mask=jnp.ones((1, res, res), bool),
+        time_mask=jnp.ones((1, t), bool),
+    )
+    text = TextBatch(
+        token_ids=jnp.asarray(rng.randint(4, 50000, (1, l)).astype(np.int32)),
+        mask=jnp.ones((1, l), bool),
+    )
+    act = np.zeros((1, t), np.float32)
+    act[:, 10:40] = 1
+    targets = {
+        "boxes": jnp.asarray(np.tile([0.5, 0.5, 0.2, 0.3], (1, t, 1)).astype(np.float32)),
+        "actioness": jnp.asarray(act),
+        "time_mask": jnp.ones((1, t), bool),
+        "sted": jnp.asarray([[10, 39]], jnp.int32),
+        "attr_labels": jnp.zeros((1, cfg.DATASET.APP_NUM)),
+        "verb_labels": jnp.zeros((1, cfg.DATASET.MOT_NUM)),
+    }
+
+    params = jax.jit(lambda r: model.init(r, video, text, train=False))(
+        jax.random.PRNGKey(0)
+    )
+    tx, _ = make_optimizer(cfg, params, max_iter=1000)
+    state = create_train_state(params, tx, use_ema=True)
+    loss_fn = VideoSTGLoss(sigma=cfg.SOLVER.SIGMA, eos_coef=cfg.SOLVER.EOS_COEF)
+    step_fn = jax.jit(
+        make_train_step(model, loss_fn, build_weight_dict(cfg), tx,
+                        cfg.MODEL.EMA_DECAY),
+        donate_argnums=(0,),
+    )
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    state, metrics = step_fn(state, video, text, targets, key)
+    loss0 = float(metrics["loss"])  # host fetch = real completion
+    print(f"compile+first step: {time.time() - t0:.0f}s (loss {loss0:.3f})")
+
+    n = 10
+    t0 = time.time()
+    for _ in range(n):
+        state, metrics = step_fn(state, video, text, targets, key)
+    final = float(metrics["loss"])
+    dt = (time.time() - t0) / n
+    print(
+        f"train step: {dt * 1000:.0f} ms  ({1 / dt:.2f} clips/s/chip, "
+        f"loss {final:.3f})"
+    )
+
+
+if __name__ == "__main__":
+    main()

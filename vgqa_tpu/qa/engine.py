@@ -117,19 +117,17 @@ class QAEngine:
     # -- jitted internals ---------------------------------------------------
     def _prefill_impl(self, params, embeds, length, cache):
         """embeds [1, Lp, D]; causal mask limited to `length` real tokens."""
+        from .llm_functional import llm_forward
+
         Lp = embeds.shape[1]
         pos = jnp.arange(Lp)[None]
         idx = jnp.arange(Lp)
         causal = idx[None, :, None] >= idx[None, None, :]
         valid = idx[None, None, :] < length
         mask = causal & valid  # prefill attends over the Lp prompt tokens only
-        logits, new_cache = self.llm.apply(
-            {"params": params["llm"]},
-            embeds,
-            pos,
-            mask,
-            cache=None,
-            cache_index=None,
+        logits, new_cache = llm_forward(
+            params["llm"], self.llm_cfg, embeds, pos, mask,
+            cache=None, cache_index=None,
         )
         # copy prefill kv into the persistent cache
         filled = []
@@ -146,14 +144,13 @@ class QAEngine:
 
     def _decode_impl(self, params, cache, token, position):
         """token [1] int32; position [] int32."""
-        embeds = self.embed.apply(
-            {"params": params["embed"]}, token[:, None]
-        )
+        from .llm_functional import embed_tokens, llm_forward
+
+        embeds = embed_tokens(params["embed"], self.llm_cfg, token[:, None])
         S = cache[0][0].shape[2]
         mask = (jnp.arange(S)[None, None, :] <= position)
-        logits, new_cache = self.llm.apply(
-            {"params": params["llm"]},
-            embeds,
+        logits, new_cache = llm_forward(
+            params["llm"], self.llm_cfg, embeds,
             position[None, None] if position.ndim == 0 else position[None],
             mask,
             cache=cache,
@@ -205,10 +202,12 @@ class QAEngine:
         Lp = _bucket(length)
         max_total = min(self.max_seq_len, Lp + gen.max_new_tokens)
 
+        from .llm_functional import embed_tokens
+
         ids_arr = np.zeros((1, Lp), np.int32)
         ids_arr[0, :length] = ids
-        embeds = self.embed.apply(
-            {"params": self.params["embed"]}, jnp.asarray(ids_arr)
+        embeds = embed_tokens(
+            self.params["embed"], self.llm_cfg, jnp.asarray(ids_arr)
         ).astype(self.dtype)
         if img_positions:
             embeds = embeds.at[0, jnp.asarray(img_positions)].set(

@@ -1,0 +1,105 @@
+"""Functional LLM forward consuming raw parameter trees.
+
+Same architecture as qa/llm.py's flax modules (verified against them in
+tests/test_quant.py) but expressed as pure functions over the param tree,
+so kernels may be either full-precision ({kernel}) or weight-only int8
+({kernel_q, scale} — qa/quant.py). The serving engine switches to this
+path automatically when it detects quantized weights.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .llm import LLMConfig, apply_rope, rotary_embedding
+from .quant import quant_matmul
+
+
+def _dense(x: jnp.ndarray, p: Dict[str, Any]) -> jnp.ndarray:
+    if "kernel_q" in p:
+        return quant_matmul(x, p)
+    y = jnp.einsum(
+        "...i,io->...o", x, p["kernel"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def _rms_norm(x: jnp.ndarray, p: Dict[str, Any], eps: float) -> jnp.ndarray:
+    var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    return (x * jax.lax.rsqrt(var + eps)).astype(x.dtype) * p["scale"]
+
+
+def llm_forward(
+    params: Dict[str, Any],
+    cfg: LLMConfig,
+    input_embeds: jnp.ndarray,   # [B, L, D]
+    positions: jnp.ndarray,      # [B, L]
+    attn_mask: jnp.ndarray,      # [B, L, S]
+    cache: Optional[Any] = None,
+    cache_index: Optional[jnp.ndarray] = None,
+):
+    """Mirror of LLM.__call__ (qa/llm.py) over a raw tree."""
+    x = input_embeds
+    B, L, _ = x.shape
+    hd = cfg.head_dim
+    new_cache = []
+    for i in range(cfg.num_layers):
+        p = params[f"layer_{i}"]
+        h = _rms_norm(x, p["attn_norm"], cfg.rms_eps)
+        q = _dense(h, p["q_proj"]).reshape(B, L, cfg.num_heads, hd)
+        k = _dense(h, p["k_proj"]).reshape(B, L, cfg.num_kv_heads, hd)
+        v = _dense(h, p["v_proj"]).reshape(B, L, cfg.num_kv_heads, hd)
+        cos, sin = rotary_embedding(positions, hd, cfg.rope_theta)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        if cache is not None:
+            ck, cv = cache[i]
+            k_t = k.transpose(0, 2, 1, 3)
+            v_t = v.transpose(0, 2, 1, 3)
+            ck = jax.lax.dynamic_update_slice(
+                ck, k_t.astype(ck.dtype), (0, 0, cache_index, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cv, v_t.astype(cv.dtype), (0, 0, cache_index, 0)
+            )
+            keys, values = ck, cv
+            new_cache.append((ck, cv))
+        else:
+            keys = k.transpose(0, 2, 1, 3)
+            values = v.transpose(0, 2, 1, 3)
+            new_cache.append((keys, values))
+
+        group = cfg.num_heads // cfg.num_kv_heads
+        qh = q.transpose(0, 2, 1, 3).reshape(B, cfg.num_kv_heads, group, L, hd)
+        logits = jnp.einsum(
+            "bkgld,bksd->bkgls", qh, keys, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(hd).astype(jnp.float32)
+        logits = jnp.where(attn_mask[:, None, None], logits, -1e30)
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum(
+            "bkgls,bksd->bkgld", probs, values, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        ctx = ctx.reshape(B, cfg.num_heads, L, hd).transpose(0, 2, 1, 3)
+        ctx = ctx.reshape(B, L, cfg.num_heads * hd)
+        x = x + _dense(ctx, p["o_proj"])
+
+        h = _rms_norm(x, p["mlp_norm"], cfg.rms_eps)
+        gate = _dense(h, p["gate_proj"])
+        up = _dense(h, p["up_proj"])
+        x = x + _dense(jax.nn.silu(gate) * up, p["down_proj"])
+
+    x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = _dense(x, params["lm_head"])
+    return logits, new_cache
+
+
+def embed_tokens(params: Dict[str, Any], cfg: LLMConfig, token_ids):
+    token_ids = jnp.clip(token_ids, 0, cfg.vocab_size - 1)
+    return params["tok_embeddings"]["embedding"][token_ids]
