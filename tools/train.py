@@ -97,7 +97,8 @@ class Trainer:
 
         ema_decay = c.MODEL.EMA_DECAY if c.MODEL.EMA else None
         step_fn = make_train_step(
-            self.model, self.loss_fn, self.weight_dict, tx, ema_decay
+            self.model, self.loss_fn, self.weight_dict, tx, ema_decay,
+            remat=c.TPU.REMAT,
         )
         donate = (0,) if c.TPU.DONATE else ()
         self.step_fn = jax.jit(step_fn, donate_argnums=donate)
@@ -115,9 +116,19 @@ class Trainer:
                                   global_batch=self.mesh.shape["dp"])
         start_time = last = time.time()
         step = start_iter
+        profiling = False
         for batch in loader:
             data_time = time.time() - last
             step = batch["iteration"] + 1
+            if c.TPU.PROFILE_DIR:
+                # capture a device trace over steps 10-14
+                if step == 10 and not profiling:
+                    jax.profiler.start_trace(c.TPU.PROFILE_DIR)
+                    profiling = True
+                elif step == 15 and profiling:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    self.logger.info(f"Wrote profile to {c.TPU.PROFILE_DIR}")
             video = jax.device_put(batch["video"], self.batch_shard)
             text = jax.device_put(batch["text"], self.batch_shard)
             targets = jax.device_put(batch["targets"], self.batch_shard)

@@ -173,6 +173,7 @@ def _tpu_cfg() -> Cfg:
     t.USE_PALLAS_ATTENTION = False  # fused attention kernels where applicable
     t.REMAT = False                 # jax.checkpoint over encoder/decoder blocks
     t.DONATE = True                 # donate train-state buffers to the step
+    t.PROFILE_DIR = ""              # capture a jax.profiler trace of steps 10-14
     return t
 
 

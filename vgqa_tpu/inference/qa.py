@@ -45,7 +45,15 @@ def _load_engine(model_dir: str) -> QAEngine:
     else:
         llm_cfg = LLMConfig.internlm2_5_7b()
         vit_cfg = ViTConfig.internvit_300m()
-    engine = QAEngine.init_random(llm_cfg, vit_cfg, dtype=jnp.bfloat16)
+    tokenizer = None
+    sp_model = os.path.join(model_dir, "tokenizer.model")
+    if os.path.exists(sp_model):
+        from ..qa.sp_tokenizer import SentencePieceBPE
+
+        tokenizer = SentencePieceBPE(sp_model)
+    engine = QAEngine.init_random(
+        llm_cfg, vit_cfg, tokenizer=tokenizer, dtype=jnp.bfloat16
+    )
     weights = os.path.join(model_dir, "params")
     if os.path.exists(weights):
         # converted orbax checkpoint (tools/convert_weights.py qa)

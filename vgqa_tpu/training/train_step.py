@@ -45,17 +45,27 @@ def make_train_step(
     weight_dict: Dict[str, float],
     tx: optax.GradientTransformation,
     ema_decay: Optional[float] = 0.9998,
+    remat: bool = False,
 ):
-    """Returns step_fn(state, video, text, targets, rng) -> (state, metrics)."""
+    """Returns step_fn(state, video, text, targets, rng) -> (state, metrics).
+
+    ``remat`` rematerializes the forward during backward (jax.checkpoint),
+    trading ~1/3 extra FLOPs for activation memory — the TPU version of
+    gradient checkpointing for long-clip/high-resolution training."""
+
+    def forward(params, video, text, rng):
+        return model.apply(params, video, text, train=True,
+                           rngs={"dropout": rng})
+
+    if remat:
+        forward = jax.checkpoint(forward, static_argnums=())
 
     def step_fn(state: TrainState, video: VideoBatch, text: TextBatch,
                 targets: Dict, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_of(params):
-            out = model.apply(
-                params, video, text, train=True, rngs={"dropout": rng}
-            )
+            out = forward(params, video, text, rng)
             losses = loss_fn(out, targets)
             total = sum(
                 losses[k] * weight_dict[k] for k in losses if k in weight_dict
