@@ -37,7 +37,6 @@ from vgqa_tpu.training import (
 from vgqa_tpu.training.evaluator import do_eval
 from vgqa_tpu.utils.log_setup import setup_logger
 from vgqa_tpu.utils.metrics_logger import MetricLogger
-from vgqa_tpu.utils.containers import TextBatch, VideoBatch
 
 
 class Trainer:
@@ -139,7 +138,13 @@ class Trainer:
             loss = float(metrics["loss"])
             batch_time = time.time() - last
             last = time.time()
-            meter.update(loss=loss, time=batch_time, data=data_time)
+            # track the non-aux loss terms like the reference's verbose set
+            # (tools/train.py:98-106)
+            verbose = {
+                k: float(v) for k, v in metrics.items()
+                if k in self.weight_dict and not k[-1].isdigit()
+            }
+            meter.update(loss=loss, time=batch_time, data=data_time, **verbose)
 
             if step % 50 == 0 or step == self.max_iter:
                 eta = meter.time.global_avg * (self.max_iter - step)

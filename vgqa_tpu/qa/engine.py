@@ -32,9 +32,10 @@ class ByteTokenizer:
     """Byte-level reversible tokenizer with chat special tokens.
 
     Used when no converted tokenizer assets exist (hermetic mode); real
-    checkpoints supply a BPE via data.tokenizer.ByteLevelBPETokenizer."""
+    checkpoints supply a SentencePiece model (qa/sp_tokenizer.py)."""
 
     PAD, BOS, EOS, IM_START, IM_END, IMG_CONTEXT = 0, 1, 2, 3, 4, 5
+    IMG_START, IMG_END = 6, 7
     OFFSET = 16
 
     vocab_size = 256 + OFFSET
@@ -158,22 +159,33 @@ class QAEngine:
         )
         return logits[:, 0], new_cache
 
+    SYSTEM_PROMPT = (
+        "You are a helpful assistant that answers questions about videos."
+    )
+
     # -- prompt assembly ----------------------------------------------------
     def build_prompt_ids(self, question: str, num_patches_list: List[int]):
-        """Token ids with IMG_CONTEXT spans per tile (parity with the
-        reference's "FrameN: <image>\n" prefix, qa.py:221-222)."""
+        """InternVL-style chat template with per-frame IMG_CONTEXT spans:
+        system turn, user turn with "FrameN: <img>...</img>" prefixes
+        (parity with the reference's "FrameN: <image>\\n" prompt,
+        qa.py:221-222, expanded to the template model.chat applies)."""
         tok = self.tokenizer
+        enc = tok.encode
+        img_s = getattr(tok, "IMG_START", tok.IM_START)
+        img_e = getattr(tok, "IMG_END", tok.IM_END)
+
         ids: List[int] = [tok.BOS]
+        ids += [tok.IM_START] + enc("system\n" + self.SYSTEM_PROMPT) + [tok.IM_END]
+        ids += [tok.IM_START] + enc("user\n")
         img_positions: List[int] = []
         for i, n_tiles in enumerate(num_patches_list):
-            ids.extend(tok.encode(f"Frame{i + 1}: "))
-            ids.append(tok.IM_START)
+            ids += enc(f"Frame{i + 1}: ") + [img_s]
             for _ in range(n_tiles * self.num_image_token):
                 img_positions.append(len(ids))
                 ids.append(tok.IMG_CONTEXT)
-            ids.append(tok.IM_END)
-            ids.extend(tok.encode("\n"))
-        ids.extend(tok.encode(question))
+            ids += [img_e] + enc("\n")
+        ids += enc(question) + [tok.IM_END]
+        ids += [tok.IM_START] + enc("assistant\n")
         return ids, img_positions
 
     # -- public chat API ----------------------------------------------------

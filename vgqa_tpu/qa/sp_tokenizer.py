@@ -112,6 +112,8 @@ class SentencePieceBPE:
         self.IM_START = self.piece_to_id.get("<|im_start|>", self.BOS)
         self.IM_END = self.piece_to_id.get("<|im_end|>", self.EOS)
         self.IMG_CONTEXT = self.piece_to_id.get("<IMG_CONTEXT>", self.unk_id)
+        self.IMG_START = self.piece_to_id.get("<img>", self.IM_START)
+        self.IMG_END = self.piece_to_id.get("</img>", self.IM_END)
 
     def _encode_word(self, word: str) -> List[int]:
         symbols = list(word)
