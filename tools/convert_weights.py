@@ -55,11 +55,39 @@ def _save(tree, dst: str):
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
-    for name in ("grounding", "resnet", "roberta", "video_swin"):
+    for name in ("grounding", "resnet", "roberta", "video_swin", "qa"):
         p = sub.add_parser(name)
         p.add_argument("--src", required=True, help="torch checkpoint path")
         p.add_argument("--dst", required=True, help="output orbax dir")
+        if name == "qa":
+            p.add_argument("--quantize", action="store_true",
+                           help="int8 weight-only quantize the LLM")
     args = parser.parse_args()
+
+    if args.cmd == "qa":
+        # src may be a directory of sharded .bin files
+        import os as _os
+
+        if _os.path.isdir(args.src):
+            sd = {}
+            for f in sorted(_os.listdir(args.src)):
+                if f.endswith(".bin") or f.endswith(".pth"):
+                    sd.update(_load_torch_sd(_os.path.join(args.src, f)))
+        else:
+            sd = _load_torch_sd(args.src)
+        from vgqa_tpu.qa.convert import convert_internvideo
+        from vgqa_tpu.qa.llm import LLMConfig
+        from vgqa_tpu.qa.vit import ViTConfig
+
+        tree = convert_internvideo(
+            sd, LLMConfig.internlm2_5_7b(), ViTConfig.internvit_300m()
+        )
+        if args.quantize:
+            from vgqa_tpu.qa.quant import quantize_llm_params
+
+            tree["llm"] = quantize_llm_params(tree["llm"])
+        _save(tree, args.dst)
+        return
 
     sd = _load_torch_sd(args.src)
     if args.cmd == "grounding":
