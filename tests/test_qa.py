@@ -114,3 +114,16 @@ def test_qa_predict_missing_model_dir(tmp_path):
     write_synthetic_video(video, 5, (32, 32), seed=0)
     with pytest.raises(FileNotFoundError):
         predict(video, "?", model_dir=str(tmp_path / "nope"))
+
+
+def test_prompt_template_structure(tiny_engine):
+    eng = tiny_engine
+    tok = eng.tokenizer
+    ids, img_pos = eng.build_prompt_ids("why?", [2, 1])
+    # one IMG_CONTEXT slot per tile per image token
+    assert len(img_pos) == 3 * eng.num_image_token
+    assert all(ids[p] == tok.IMG_CONTEXT for p in img_pos)
+    # template: BOS, system turn, user turn, assistant cue
+    assert ids[0] == tok.BOS
+    assert ids.count(tok.IM_START) == 3  # system, user, assistant
+    assert ids[-1] != tok.IM_END  # ends mid-assistant turn (generation point)
