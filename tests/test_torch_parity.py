@@ -181,3 +181,115 @@ def test_roberta_layer_vs_torch_manual():
         jnp.asarray(_np(x)), jnp.ones((1, L), bool),
     )
     np.testing.assert_allclose(np.asarray(out), _np(ref), atol=2e-5)
+
+
+def test_pos_decoder_layer_cross_attention_vs_torch():
+    """PosDecoderLayer's time-aligned concat cross-attention
+    (query_decoder.py:299-369): per-head [content|sine] q of 2c dims,
+    per-head [content|pos] k of 2c dims, c-dim v, scale (2c/H)^-0.5,
+    per-frame single-query attention, out-proj + residual + LN + FFN."""
+    torch.manual_seed(4)
+    c, heads, T, S = 16, 4, 3, 9
+    dh = c // heads
+
+    proj = {
+        name: torch.nn.Linear(c, c)
+        for name in ("qc", "kc", "vv", "kp", "sine", "cross_out")
+    }
+    linear1 = torch.nn.Linear(c, 32)
+    linear2 = torch.nn.Linear(32, c)
+    norm3 = torch.nn.LayerNorm(c)
+    norm4 = torch.nn.LayerNorm(c)
+
+    tgt = torch.randn(T, 1, c)          # [t, b=1, c]
+    memory = torch.randn(S, T, c)       # [tokens, frames, c]
+    mem_pos = torch.randn(S, T, c)
+    query_sine = torch.randn(T, 1, c)
+
+    with torch.no_grad():
+        # the flax layer applies norm1 after (zeroed) self-attention; a
+        # scale=1/bias=0 LayerNorm still normalizes, so mirror it here
+        tgt = torch.nn.functional.layer_norm(tgt, (c,))
+        q_content = proj["qc"](tgt)
+        k_content = proj["kc"](memory)
+        v = proj["vv"](memory)
+        k_pos = proj["kp"](mem_pos)
+        sine = proj["sine"](query_sine)
+
+        # per-head concat (query_decoder.py:319-333)
+        q = torch.cat(
+            [q_content.view(T, 1, heads, dh), sine.view(T, 1, heads, dh)],
+            dim=3,
+        ).view(T, 1, 2 * c)
+        k = torch.cat(
+            [k_content.view(S, T, heads, dh), k_pos.view(S, T, heads, dh)],
+            dim=3,
+        ).view(S, T, 2 * c)
+
+        # per-frame single-query attention, custom scaling (attention.py:151)
+        hd2 = 2 * c // heads
+        qh = (q[:, 0] * hd2**-0.5).view(T, heads, hd2).transpose(0, 1)  # [H,T,hd2]
+        kh = k.view(S, T, heads, hd2).permute(2, 1, 0, 3)               # [H,T,S,hd2]
+        vh = v.view(S, T, heads, dh).permute(2, 1, 0, 3)                # [H,T,S,dh]
+        attn = torch.softmax(
+            torch.einsum("htd,htsd->hts", qh, kh), dim=-1
+        )
+        ctx = torch.einsum("hts,htsd->htd", attn, vh)                   # [H,T,dh]
+        ctx = ctx.permute(1, 0, 2).reshape(T, c)
+        tgt2 = proj["cross_out"](ctx).unsqueeze(1)
+        h = norm3(tgt + tgt2)
+        ref = norm4(h + linear2(torch.relu(linear1(h))))
+
+    from vgqa_tpu.models.decoder import PosDecoderLayer
+
+    def dense(p):
+        return {"kernel": _np(p.weight).T, "bias": _np(p.bias)}
+
+    # self-attention weights must exist but are bypassed by feeding the
+    # post-self-attention target directly: build the layer and run only the
+    # cross-attention by mimicking with zeroed self-attn... instead compare
+    # the cross path by constructing a layer whose self-attn output is the
+    # identity: set sa_v to zero so self-attn adds nothing, and norm1 to
+    # identity.
+    d = c
+    zeros_dense = {"kernel": np.zeros((d, d), np.float32),
+                   "bias": np.zeros((d,), np.float32)}
+    identity_ln = {"scale": np.ones((d,), np.float32),
+                   "bias": np.zeros((d,), np.float32)}
+    params = {
+        "sa_qcontent": zeros_dense, "sa_qtime": zeros_dense,
+        "sa_qpos": zeros_dense, "sa_kcontent": zeros_dense,
+        "sa_ktime": zeros_dense, "sa_kpos": zeros_dense,
+        "sa_v": zeros_dense,
+        "self_attn": {
+            "q_proj": zeros_dense, "k_proj": zeros_dense,
+            "v_proj": zeros_dense, "out_proj": zeros_dense,
+        },
+        "norm1": identity_ln,
+        "ca_qcontent": dense(proj["qc"]),
+        "ca_kcontent": dense(proj["kc"]),
+        "ca_v": dense(proj["vv"]),
+        "ca_kpos": dense(proj["kp"]),
+        "ca_qpos_sine": dense(proj["sine"]),
+        "cross_out": dense(proj["cross_out"]),
+        "ffn": {"linear1": dense(linear1), "linear2": dense(linear2)},
+        "norm3": {"scale": _np(norm3.weight), "bias": _np(norm3.bias)},
+        "norm4": {"scale": _np(norm4.weight), "bias": _np(norm4.bias)},
+    }
+    # norm1 as identity means tgt entering cross-attn equals the raw input
+    layer = PosDecoderLayer(num_heads=heads, ffn_dim=32, dropout=0.0,
+                            is_first=False)
+    out = layer.apply(
+        {"params": jax.tree.map(jnp.asarray, params)},
+        jnp.asarray(_np(tgt).transpose(1, 0, 2)),       # [V=1, T, c]
+        jnp.zeros((1, T, c)),                            # query_pos (unused: not first)
+        jnp.zeros((1, T, c)),                            # query_time (projected by zeros)
+        jnp.asarray(_np(query_sine).transpose(1, 0, 2)),
+        jnp.asarray(_np(memory).transpose(1, 0, 2)[None]),   # [1, T, S, c]
+        jnp.asarray(_np(mem_pos).transpose(1, 0, 2)[None]),
+        jnp.ones((1, T, S), bool),
+        jnp.ones((1, T), bool),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out)[0], _np(ref)[:, 0], atol=3e-5
+    )
