@@ -47,6 +47,13 @@ def main(epochs: int = 60, out_root: str = "/tmp/vgqa_learning"):
     cfg.SOLVER.CHECKPOINT_PERIOD = 10**9
     cfg.SOLVER.SCHEDULE.DROP_STEP = [epochs]  # constant LR after warmup
     cfg.TPU.MESH_DP = 1
+    # make the task cleanly learnable: no augmentation jitter, single scale
+    cfg.INPUT.AUG_SCALE = False
+    cfg.INPUT.FLIP_PROB_TRAIN = 0.0
+    cfg.INPUT.TEMP_CROP_PROB = 0.0
+    cfg.SOLVER.BASE_LR = 5e-4
+    cfg.SOLVER.TEMP_LR = 5e-4
+    cfg.SOLVER.VERB_LR = 5e-4
 
     logger = setup_logger("learning-validation", "")
     trainer = train_mod.Trainer(cfg, logger, seed=0)
@@ -85,4 +92,5 @@ def main(epochs: int = 60, out_root: str = "/tmp/vgqa_learning"):
 
 if __name__ == "__main__":
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 60
-    main(epochs)
+    out_root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/vgqa_learning"
+    main(epochs, out_root)
