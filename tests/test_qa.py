@@ -127,3 +127,12 @@ def test_prompt_template_structure(tiny_engine):
     assert ids[0] == tok.BOS
     assert ids.count(tok.IM_START) == 3  # system, user, assistant
     assert ids[-1] != tok.IM_END  # ends mid-assistant turn (generation point)
+
+
+def test_byte_tokenizer_decode_out_of_range_ids():
+    """Big-vocab models sample ids past the byte range; decode must skip
+    them instead of raising (regression: ValueError in bytes())."""
+    from vgqa_tpu.qa.engine import ByteTokenizer
+
+    tok = ByteTokenizer()
+    assert tok.decode([50000, tok.OFFSET + ord("h"), 90000, tok.OFFSET + ord("i")]) == "hi"

@@ -44,7 +44,9 @@ class ByteTokenizer:
         return [b + self.OFFSET for b in text.encode("utf-8")]
 
     def decode(self, ids: List[int]) -> str:
-        data = bytes(i - self.OFFSET for i in ids if i >= self.OFFSET)
+        data = bytes(
+            i - self.OFFSET for i in ids if self.OFFSET <= i < self.OFFSET + 256
+        )
         return data.decode("utf-8", errors="ignore")
 
 
