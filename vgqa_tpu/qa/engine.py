@@ -95,6 +95,9 @@ class QAEngine:
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(3,))
         # donate the KV cache so each decode step updates it in place
         self._decode_step = jax.jit(self._decode_impl, donate_argnums=(1,))
+        self._greedy_loop = jax.jit(
+            self._greedy_loop_impl, static_argnums=(5,), donate_argnums=(1,)
+        )
 
     # -- params init (random; converters fill real weights) ----------------
     @classmethod
@@ -165,6 +168,35 @@ class QAEngine:
         "You are a helpful assistant that answers questions about videos."
     )
 
+    def _greedy_loop_impl(self, params, cache, first_logits, start_position,
+                          stop_ids, max_new_tokens):
+        """Whole greedy generation as ONE device program (lax.scan): no
+        per-token host round-trips (~50 ms each through this environment's
+        tunnel — BASELINE.md)."""
+        from .llm_functional import embed_tokens, llm_forward
+
+        S = cache[0][0].shape[2]
+
+        def step(carry, _):
+            cache, logits, position, done = carry
+            next_id = jnp.argmax(logits[0]).astype(jnp.int32)
+            is_stop = jnp.any(next_id == stop_ids) | (position >= S - 1)
+            emit = jnp.where(done | is_stop, -1, next_id)
+            embeds = embed_tokens(params["embed"], self.llm_cfg, emit[None, None])
+            mask = (jnp.arange(S)[None, None, :] <= position)
+            new_logits, new_cache = llm_forward(
+                params["llm"], self.llm_cfg, embeds,
+                position[None, None], mask, cache=cache, cache_index=position,
+            )
+            new_done = done | is_stop
+            return (new_cache, new_logits[:, 0], position + 1, new_done), emit
+
+        init = (cache, first_logits, start_position, jnp.asarray(False))
+        (_, _, _, _), tokens = jax.lax.scan(
+            step, init, None, length=max_new_tokens
+        )
+        return tokens  # [max_new_tokens], -1 past the stop
+
     # -- prompt assembly ----------------------------------------------------
     def build_prompt_ids(self, question: str, num_patches_list: List[int]):
         """InternVL-style chat template with per-frame IMG_CONTEXT spans:
@@ -234,6 +266,16 @@ class QAEngine:
         )
 
         tok = self.tokenizer
+        if not gen.do_sample or gen.temperature <= 0:
+            # greedy: one device program for the whole generation
+            stop_ids = jnp.asarray([tok.EOS, tok.IM_END], jnp.int32)
+            tokens = self._greedy_loop(
+                self.params, cache, logits,
+                jnp.asarray(length, jnp.int32), stop_ids, gen.max_new_tokens,
+            )
+            out_ids = [int(t) for t in np.asarray(tokens) if t >= 0]
+            return self.tokenizer.decode(out_ids)
+
         out_ids: List[int] = []
         position = length
         last_logits = logits
