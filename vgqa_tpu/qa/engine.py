@@ -98,6 +98,9 @@ class QAEngine:
         self._greedy_loop = jax.jit(
             self._greedy_loop_impl, static_argnums=(5,), donate_argnums=(1,)
         )
+        self._sample_loop = jax.jit(
+            self._sample_loop_impl, static_argnums=(5,), donate_argnums=(1,)
+        )
 
     # -- params init (random; converters fill real weights) ----------------
     @classmethod
@@ -196,6 +199,43 @@ class QAEngine:
             step, init, None, length=max_new_tokens
         )
         return tokens  # [max_new_tokens], -1 past the stop
+
+    def _sample_loop_impl(self, params, cache, first_logits, start_position,
+                          stop_ids, max_new_tokens, rng, temperature, top_p):
+        """Temperature + nucleus sampling as one device program."""
+        from .llm_functional import embed_tokens, llm_forward
+
+        S = cache[0][0].shape[2]
+
+        def pick(logits, key):
+            scaled = logits.astype(jnp.float32) / jnp.maximum(temperature, 0.01)
+            sorted_logits = jnp.sort(scaled)[::-1]
+            probs = jax.nn.softmax(sorted_logits)
+            cum = jnp.cumsum(probs)
+            # smallest logit still inside the nucleus
+            cutoff_idx = jnp.sum(cum < top_p)
+            cutoff = sorted_logits[jnp.minimum(cutoff_idx, scaled.shape[0] - 1)]
+            masked = jnp.where(scaled >= cutoff, scaled, -jnp.inf)
+            return jax.random.categorical(key, masked).astype(jnp.int32)
+
+        def step(carry, _):
+            cache, logits, position, done, key = carry
+            key, sub = jax.random.split(key)
+            next_id = pick(logits[0], sub)
+            is_stop = jnp.any(next_id == stop_ids) | (position >= S - 1)
+            emit = jnp.where(done | is_stop, -1, next_id)
+            embeds = embed_tokens(params["embed"], self.llm_cfg, emit[None, None])
+            mask = (jnp.arange(S)[None, None, :] <= position)
+            new_logits, new_cache = llm_forward(
+                params["llm"], self.llm_cfg, embeds,
+                position[None, None], mask, cache=cache, cache_index=position,
+            )
+            return (new_cache, new_logits[:, 0], position + 1,
+                    done | is_stop, key), emit
+
+        init = (cache, first_logits, start_position, jnp.asarray(False), rng)
+        _, tokens = jax.lax.scan(step, init, None, length=max_new_tokens)
+        return tokens
 
     # -- prompt assembly ----------------------------------------------------
     def build_prompt_ids(self, question: str, num_patches_list: List[int]):
