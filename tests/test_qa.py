@@ -136,3 +136,18 @@ def test_byte_tokenizer_decode_out_of_range_ids():
 
     tok = ByteTokenizer()
     assert tok.decode([50000, tok.OFFSET + ord("h"), 90000, tok.OFFSET + ord("i")]) == "hi"
+
+
+def test_sampling_loop_generates(tiny_engine):
+    """The on-device sampling loop must produce a valid generation and be
+    reproducible for a fixed rng."""
+    import jax
+
+    eng = tiny_engine
+    s = eng.vit_cfg.image_size
+    tiles = np.random.RandomState(2).rand(1, s, s, 3).astype(np.float32)
+    g = GenerationConfig(max_new_tokens=8, do_sample=True, temperature=0.8,
+                        top_p=0.9)
+    a1 = eng.chat(tiles, "hm?", g, rng=jax.random.PRNGKey(7))
+    a2 = eng.chat(tiles, "hm?", g, rng=jax.random.PRNGKey(7))
+    assert isinstance(a1, str) and a1 == a2

@@ -8,8 +8,9 @@ Replaces the reference's remote-code ``model.chat(...)`` generation loop
   the placeholder positions are overwritten with vision-tower tokens,
 * prefill runs one static-shape causal program over the padded prompt and
   fills the KV cache,
-* decode is a jitted single-token step (cache update + matvec attention);
-  temperature/top-p sampling runs host-side,
+* generation runs fully on device: lax.scan loops for both greedy and
+  temperature/top-p sampling (per-token host round-trips cost ~50 ms
+  through remote tunnels — BASELINE.md),
 * prompt lengths are bucketed to powers of two so repeat calls reuse
   compiled programs.
 """
@@ -316,40 +317,13 @@ class QAEngine:
             out_ids = [int(t) for t in np.asarray(tokens) if t >= 0]
             return self.tokenizer.decode(out_ids)
 
-        out_ids: List[int] = []
-        position = length
-        last_logits = logits
-        for _ in range(gen.max_new_tokens):
-            if position >= max_total:
-                break
-            next_id = self._sample(np.asarray(last_logits)[0], gen, rng)
-            rng, _ = jax.random.split(rng)
-            if next_id in (tok.EOS, tok.IM_END):
-                break
-            out_ids.append(int(next_id))
-            last_logits, cache = self._decode_step(
-                self.params, cache, jnp.asarray([next_id], jnp.int32),
-                jnp.asarray(position, jnp.int32),
-            )
-            position += 1
+        # temperature/top-p sampling, also as one device program
+        stop_ids = jnp.asarray([tok.EOS, tok.IM_END], jnp.int32)
+        tokens = self._sample_loop(
+            self.params, cache, logits, jnp.asarray(length, jnp.int32),
+            stop_ids, gen.max_new_tokens, rng,
+            jnp.asarray(gen.temperature, jnp.float32),
+            jnp.asarray(gen.top_p, jnp.float32),
+        )
+        out_ids = [int(t) for t in np.asarray(tokens) if t >= 0]
         return self.tokenizer.decode(out_ids)
-
-    @staticmethod
-    def _sample(logits: np.ndarray, gen: GenerationConfig, rng) -> int:
-        if not gen.do_sample or gen.temperature <= 0:
-            return int(np.argmax(logits))
-        logits = logits.astype(np.float64) / max(gen.temperature, 0.01)
-        probs = np.exp(logits - logits.max())
-        probs /= probs.sum()
-        if gen.top_p < 1.0:
-            order = np.argsort(-probs)
-            cum = np.cumsum(probs[order])
-            cutoff = cum > gen.top_p
-            if cutoff.any():
-                first = int(np.argmax(cutoff))
-                mask = np.ones_like(probs, bool)
-                mask[order[first + 1 :]] = False
-                probs = probs * mask
-                probs /= probs.sum()
-        seed = int(jax.random.randint(rng, (), 0, 2**31 - 1))
-        return int(np.random.RandomState(seed).choice(len(probs), p=probs))
