@@ -106,3 +106,33 @@ def test_video_swin_t_full_config_builds():
     n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     # Swin-T trunk ~28M params
     assert 27_000_000 < n < 29_000_000, n
+
+
+def test_patch_embed_matmul_equals_conv3d():
+    """The reshape+matmul patch embedding must equal the 3D convolution it
+    replaces (stride == kernel, VALID padding)."""
+    from vgqa_tpu.models.video_swin import VideoSwinBackbone, VideoSwinConfig
+
+    cfg = VideoSwinConfig.tiny_test()
+    model = VideoSwinBackbone(cfg)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 2, 16, 16, 3).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    kernel = params["params"]["patch_embed_kernel"]  # [1, 4, 4, 3, C]
+    bias = params["params"]["patch_embed_bias"]
+    conv = jax.lax.conv_general_dilated(
+        x,
+        jnp.asarray(kernel),
+        window_strides=(1, 4, 4),
+        padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    ) + bias
+
+    # reproduce the module's patching math
+    B, T, H, W, _ = x.shape
+    gh, gw = H // 4, W // 4
+    patches = x.reshape(B, T, gh, 4, gw, 4, 3).transpose(0, 1, 2, 4, 3, 5, 6)
+    patches = patches.reshape(B, T, gh, gw, 48)
+    matmul = patches @ jnp.asarray(kernel).reshape(48, -1) + bias
+    np.testing.assert_allclose(np.asarray(matmul), np.asarray(conv), atol=2e-5)

@@ -163,9 +163,9 @@ def test_video_swin_structure_and_temporal_sum():
 
     converted = convert_video_swin(sd, cfg.depths)
     # temporal patch kernel summed 2 -> 1
-    assert converted["patch_embed"]["kernel"].shape[0] == 1
+    assert converted["patch_embed_kernel"].shape[0] == 1
     np.testing.assert_allclose(
-        converted["patch_embed"]["kernel"][0],
+        converted["patch_embed_kernel"][0],
         np.transpose(sd["patch_embed.proj.weight"].sum(2), (2, 3, 1, 0)),
         atol=1e-6,
     )

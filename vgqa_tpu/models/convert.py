@@ -143,10 +143,10 @@ def convert_video_swin(
     if sum_temporal_patch and patch_w.shape[2] > 1:
         patch_w = patch_w.sum(axis=2, keepdims=True)
     params: Dict = {
-        "patch_embed": {
-            "kernel": _conv3d(patch_w),
-            "bias": sd["patch_embed.proj.bias"],
-        },
+        # reshape+matmul patch embedding keeps the conv kernel layout
+        # [pd, ph, pw, 3, C] (video_swin.py)
+        "patch_embed_kernel": _conv3d(patch_w),
+        "patch_embed_bias": sd["patch_embed.proj.bias"],
     }
     if "patch_embed.norm.weight" in sd:
         params["patch_norm"] = _ln(sd, "patch_embed.norm")

@@ -344,13 +344,32 @@ class VideoSwinBackbone(nn.Module):
         c = self.cfg
         pd, ph, pw = c.patch_size
         assert pd == 1, "patch_size[0]=1 keeps per-frame temporal resolution"
-        x = nn.Conv(
-            c.embed_dim,
-            (pd, ph, pw),
-            strides=(pd, ph, pw),
-            padding="VALID",
-            name="patch_embed",
-        )(frames)  # [B, T, H/4, W/4, C]
+        # Non-overlapping patching (stride == kernel) as reshape + matmul —
+        # a 3D convolution here maps poorly onto the TPU conv units, while
+        # this form is one large MXU matmul. The parameter keeps the conv
+        # kernel layout [pd, ph, pw, 3, C] for checkpoint compatibility.
+        B, T, H, W, _ = frames.shape
+        kernel = self.param(
+            "patch_embed_kernel",
+            nn.initializers.lecun_normal(),
+            (pd, ph, pw, 3, c.embed_dim),
+        )
+        bias = self.param(
+            "patch_embed_bias", nn.initializers.zeros, (c.embed_dim,)
+        )
+        gh, gw = H // ph, W // pw
+        patches = frames.reshape(B, T, gh, ph, gw, pw, 3)
+        patches = patches.transpose(0, 1, 2, 4, 3, 5, 6)
+        patches = patches.reshape(B, T, gh, gw, ph * pw * 3)
+        x = (
+            jnp.einsum(
+                "bthwp,pc->bthwc",
+                patches,
+                kernel.reshape(ph * pw * 3, c.embed_dim),
+                preferred_element_type=jnp.float32,
+            ).astype(frames.dtype)
+            + bias
+        )
         if c.patch_norm:
             x = nn.LayerNorm(name="patch_norm")(x)
 
