@@ -86,7 +86,10 @@ def _load_model(config_path: str, ckpt_path: str):
 
     dtype = resolve_dtype(cfg.TPU.COMPUTE_DTYPE)
     params = cast_floating(params, dtype)
-    return cfg, model, params, tokenizer
+    # one cached jitted forward per loaded model: rebuilding it per predict
+    # call would recompile every request
+    fwd = make_eval_forward(model)
+    return cfg, model, params, tokenizer, fwd
 
 
 def predict(
@@ -103,7 +106,7 @@ def predict(
     if not os.path.exists(video_path):
         raise FileNotFoundError(f"Video not found: {video_path}")
 
-    cfg, model, params, tokenizer = _load_model(cfg_path, ckpt_path)
+    cfg, model, params, tokenizer, fwd = _load_model(cfg_path, ckpt_path)
     from ..utils.dtype import resolve_dtype
 
     compute_dtype = resolve_dtype(cfg.TPU.COMPUTE_DTYPE)
@@ -121,8 +124,6 @@ def predict(
     frames = resize_frames(raw.astype(np.float32) / 255.0, res, res)
     frames = (frames - mean) / std
 
-    t_half = len(frame_ids) // 2
-    fwd = make_eval_forward(model)
     halves = []
     for start in (0, 1):
         half_frames = frames[start::2]
