@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Any, Dict, List
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..models.postprocess import postprocess
@@ -58,7 +59,11 @@ def linear_interp_conf(conf_dict: Dict[int, Any]):
 
 def make_eval_forward(model):
     """Jitted eval forward + postprocess: the device-side half of
-    single_forward (evaluator.py:57-92)."""
+    single_forward (evaluator.py:57-92).
+
+    Outputs are packed into two arrays: each host fetch is a full network
+    round trip on remote-device tunnels, so [boxes|att|select] travel as one
+    [V, T, 6] tensor and the span indices as one [V, 2] tensor."""
 
     @jax.jit
     def fwd(params, video: VideoBatch, text: TextBatch, ori_sizes):
@@ -66,13 +71,16 @@ def make_eval_forward(model):
         boxes, s_idx, e_idx = postprocess(
             out["pred_boxes"], out["pred_sted"], ori_sizes, video.time_mask
         )
-        return {
-            "boxes": boxes,
-            "start": s_idx,
-            "end": e_idx,
-            "att": out["att_sequences"],
-            "select": out["select_mask"],
-        }
+        packed = jnp.concatenate(
+            [
+                boxes.astype(jnp.float32),
+                out["att_sequences"].astype(jnp.float32)[..., None],
+                out["select_mask"].astype(jnp.float32)[..., None],
+            ],
+            axis=-1,
+        )
+        span = jnp.stack([s_idx, e_idx], axis=-1).astype(jnp.int32)
+        return packed, span
 
     return fwd
 
@@ -86,12 +94,14 @@ def single_forward(
     import jax.numpy as jnp
 
     ori = jnp.asarray([list(i["ori_size"]) for i in infos], jnp.float32)
-    dev = fwd(params, video, text, ori)
-    boxes = np.asarray(dev["boxes"])
-    starts = np.asarray(dev["start"])
-    ends = np.asarray(dev["end"])
-    att = np.asarray(dev["att"])
-    select = np.asarray(dev["select"])
+    packed_dev, span_dev = fwd(params, video, text, ori)
+    packed = np.asarray(packed_dev)
+    span = np.asarray(span_dev)
+    boxes = packed[..., :4]
+    att = packed[..., 4]
+    select = packed[..., 5] > 0.5
+    starts = span[..., 0]
+    ends = span[..., 1]
 
     bbox_pred, att_pred, temp_pred, kf_pred = {}, {}, {}, {}
     for i, info in enumerate(infos):
