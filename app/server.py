@@ -47,9 +47,15 @@ class HTTPError(Exception):
         self.message = message
 
 
+def _contained(p: Path, root: Path) -> bool:
+    # strict containment: a plain str prefix check would also admit sibling
+    # dirs sharing the prefix (/root/videos-private vs /root/videos)
+    return p == root or p.is_relative_to(root)
+
+
 def _safe_join_video(name: str) -> Path:
     p = (VIDEOS_ROOT / name).resolve()
-    if not str(p).startswith(str(VIDEOS_ROOT)):
+    if not _contained(p, VIDEOS_ROOT):
         raise HTTPError(400, "Invalid path")
     if not p.exists() or not p.is_file():
         raise HTTPError(404, "Video not found")
@@ -59,7 +65,7 @@ def _safe_join_video(name: str) -> Path:
 def _list_videos_in(dir_path: Optional[str]) -> List[str]:
     base = VIDEOS_ROOT if not dir_path else (VIDEOS_ROOT / dir_path)
     base = base.resolve()
-    if not str(base).startswith(str(VIDEOS_ROOT)):
+    if not _contained(base, VIDEOS_ROOT):
         raise HTTPError(400, "Invalid directory")
     if not base.exists():
         return []
@@ -198,13 +204,51 @@ class Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(data)
 
-    def _send_file(self, path: Path, content_type: str):
-        data = path.read_bytes()
-        self.send_response(200)
+    def _send_file(self, path: Path, content_type: str, ranged: bool = False):
+        """Stream a file in constant memory; with ``ranged`` honor a
+        ``Range: bytes=`` header with a 206 + Content-Range response so the
+        browser <video> element can seek (parity with the reference's
+        StaticFiles mount, /root/reference/app/server.py:41-44).
+        """
+        size = path.stat().st_size
+        start, end = 0, size - 1
+        status = 200
+        range_header = self.headers.get("Range") if ranged else None
+        if range_header:
+            m = re.match(r"bytes=(\d*)-(\d*)$", range_header.strip())
+            if not m or (not m.group(1) and not m.group(2)):
+                return self._send_json({"detail": "invalid Range"}, 416)
+            if m.group(1):
+                start = int(m.group(1))
+                end = int(m.group(2)) if m.group(2) else size - 1
+            else:  # suffix range: last N bytes
+                start = max(0, size - int(m.group(2)))
+            end = min(end, size - 1)
+            if start >= size or start > end:
+                self.send_response(416)
+                self.send_header("Content-Range", f"bytes */{size}")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            status = 206
+        length = end - start + 1
+        self.send_response(status)
         self.send_header("Content-Type", content_type)
-        self.send_header("Content-Length", str(len(data)))
+        self.send_header("Content-Length", str(length))
+        if ranged:
+            self.send_header("Accept-Ranges", "bytes")
+        if status == 206:
+            self.send_header("Content-Range", f"bytes {start}-{end}/{size}")
         self.end_headers()
-        self.wfile.write(data)
+        with path.open("rb") as f:
+            f.seek(start)
+            remaining = length
+            while remaining > 0:
+                chunk = f.read(min(1 << 20, remaining))
+                if not chunk:
+                    break
+                self.wfile.write(chunk)
+                remaining -= len(chunk)
 
     def log_message(self, fmt, *args):  # quiet by default
         if os.getenv("VGQA_SERVER_VERBOSE"):
@@ -231,11 +275,11 @@ class Handler(BaseHTTPRequestHandler):
                 return self._send_json(handle_meta(q["video"]))
             if url.path.startswith("/videos/"):
                 p = _safe_join_video(url.path[len("/videos/") :])
-                return self._send_file(p, "video/mp4")
+                return self._send_file(p, "video/mp4", ranged=True)
             if url.path.startswith("/app/"):
                 rel = url.path[len("/app/") :]
                 p = (STATIC_DIR / rel).resolve()
-                if not str(p).startswith(str(STATIC_DIR)) or not p.exists():
+                if not _contained(p, STATIC_DIR) or not p.exists():
                     raise HTTPError(404, "Not found")
                 ctype = "text/html" if p.suffix == ".html" else "text/plain"
                 return self._send_file(p, ctype)

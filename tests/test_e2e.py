@@ -107,3 +107,26 @@ def test_predict_api(env, tmp_path):
     assert set(first.keys()) == {"frame", "bbox", "score"}
     assert len(first["bbox"]) == 4
     json.dumps(result)  # schema must be JSON-serializable
+
+
+def test_predict_short_odd_frame_video(env, tmp_path):
+    """A video shorter than 2*TRAIN_SAMPLE_NUM with an odd frame count must
+    not crash the even/odd split (regression: np.stack on unequal halves)."""
+    cfg, data_dir, out_dir = env
+    from vgqa_tpu.data.synthetic import write_synthetic_video
+    from vgqa_tpu.inference.grounding import predict
+
+    cfg_path = str(tmp_path / "tiny.yaml")
+    c = build_default_cfg()
+    c.merge_from_file("configs/grounding_vidstg_tiny.yaml")
+    c.DATA_DIR = data_dir
+    with open(cfg_path, "w") as f:
+        f.write(c.dump())
+
+    # 9 frames < 2*8 target -> uniform sampling returns all 9 (odd)
+    video = str(tmp_path / "odd.mp4")
+    write_synthetic_video(video, 9, (64, 48), seed=3)
+    result = predict(video, "a square", cfg_path, ckpt_path="")
+    assert result["temporal"]["start"] <= result["temporal"]["end"]
+    assert len(result["tube"]) >= 1
+    json.dumps(result)

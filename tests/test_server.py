@@ -114,6 +114,67 @@ def test_busy_lock_409(server):
         mod._infer_lock.release()
 
 
+def test_video_range_request(server):
+    base, mod = server
+    full = (mod.VIDEOS_ROOT / "demo.mp4").read_bytes()
+
+    # whole-file GET advertises range support
+    with urllib.request.urlopen(base + "/videos/demo.mp4", timeout=30) as r:
+        assert r.status == 200
+        assert r.headers["Accept-Ranges"] == "bytes"
+        assert r.read() == full
+
+    # bounded range -> 206 with the exact slice
+    req = urllib.request.Request(
+        base + "/videos/demo.mp4", headers={"Range": "bytes=10-29"}
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.status == 206
+        assert r.headers["Content-Range"] == f"bytes 10-29/{len(full)}"
+        assert r.read() == full[10:30]
+
+    # open-ended range
+    req = urllib.request.Request(
+        base + "/videos/demo.mp4", headers={"Range": f"bytes={len(full)-5}-"}
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.status == 206
+        assert r.read() == full[-5:]
+
+    # suffix range (last N bytes)
+    req = urllib.request.Request(
+        base + "/videos/demo.mp4", headers={"Range": "bytes=-7"}
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.status == 206
+        assert r.read() == full[-7:]
+
+    # unsatisfiable -> 416
+    req = urllib.request.Request(
+        base + "/videos/demo.mp4",
+        headers={"Range": f"bytes={len(full)+100}-"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 416
+
+
+def test_sibling_prefix_dir_blocked(server, tmp_path):
+    # a sibling directory sharing the string prefix must not be reachable
+    _, mod = server
+    root = mod.VIDEOS_ROOT
+    sibling = type(root)(str(root) + "-private")
+    sibling.mkdir(exist_ok=True)
+    (sibling / "secret.mp4").write_bytes(b"x")
+    try:
+        with pytest.raises(mod.HTTPError) as e:
+            mod._safe_join_video(f"../{sibling.name}/secret.mp4")
+        assert e.value.status == 400
+    finally:
+        (sibling / "secret.mp4").unlink()
+        sibling.rmdir()
+
+
 def test_index_served(server):
     base, _ = server
     with urllib.request.urlopen(base + "/", timeout=30) as r:

@@ -62,6 +62,31 @@ def test_bpe_tokenizer_from_assets(tmp_path):
     assert tok.encode("z")[1] == 3
 
 
+def test_pretokenize_matches_canonical_gpt2_pattern():
+    """Our stdlib-re split must agree with HF's canonical \\p{L}/\\p{N}
+    pattern (regex module) — including mixed alphanumerics and underscores."""
+    import regex
+
+    from vgqa_tpu.data.tokenizer import _GPT2_SPLIT
+
+    canonical = regex.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+"
+        r"| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+    )
+    cases = [
+        "the 2nd person in room2 waves",
+        "covid19 spread in 2020-2021!",
+        "snake_case_name and __dunder__",
+        "it's, they're; we'll do 3.14 things",
+        "  leading and trailing  ",
+        "a1b2c3 100% #tag @user",
+        "naïve café über 中文 テスト",
+        "price is $5.99 (was $10)",
+    ]
+    for text in cases:
+        assert _GPT2_SPLIT.findall(text) == canonical.findall(text), text
+
+
 def test_roberta_shapes_and_mask_invariance():
     cfg = RobertaConfig.tiny()
     model = RobertaModel(cfg)

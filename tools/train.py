@@ -135,37 +135,39 @@ class Trainer:
                 self.state, metrics = self.step_fn(
                     self.state, video, text, targets, rng
                 )
-            loss = float(metrics["loss"])
             batch_time = time.time() - last
             last = time.time()
-            # track the non-aux loss terms like the reference's verbose set
-            # (tools/train.py:98-106)
-            verbose = {
-                k: float(v) for k, v in metrics.items()
-                if k in self.weight_dict and not k[-1].isdigit()
-            }
-            meter.update(loss=loss, time=batch_time, data=data_time, **verbose)
+            meter.update(time=batch_time, data=data_time)
 
             if step % 50 == 0 or step == self.max_iter:
+                # fetch device metrics only on the logging cadence: a
+                # per-step float() is a device->host sync that serializes
+                # dispatch on remote links
+                host_metrics = jax.device_get(metrics)
+                # track the non-aux loss terms like the reference's verbose
+                # set (tools/train.py:98-106)
+                verbose = {
+                    k: float(v) for k, v in host_metrics.items()
+                    if k in self.weight_dict and not k[-1].isdigit()
+                }
+                meter.update(loss=float(host_metrics["loss"]), **verbose)
                 eta = meter.time.global_avg * (self.max_iter - step)
                 self.logger.info(
                     f"eta: {datetime.timedelta(seconds=int(eta))}  "
                     f"iter: {step} / {self.max_iter}  {meter}"
                 )
-                for k, v in metrics.items():
+                for k, v in host_metrics.items():
                     writer.add_scalar(k, float(v), step)
             if step % c.SOLVER.CHECKPOINT_PERIOD == 0:
                 self.ckpt.save(f"model_{step:06d}", self.state)
-                self.ckpt.save(f"model_{step:06d}_params", self.eval_params())
+                # params-only eval twin must NOT retake the resume tag
+                self.ckpt.save(f"model_{step:06d}_params", self.eval_params(),
+                               tag=False)
             if c.SOLVER.TO_VAL and step % c.SOLVER.VAL_PERIOD == 0:
                 self.validate()
         self.ckpt.save("model_final", self.state)
         # params-only twin for inference/evaluation loaders (EMA weights)
-        final_params = self.ckpt.save("model_final_params", self.eval_params())
-        self.ckpt._tag_last_checkpoint(
-            os.path.join(self.ckpt.output_dir, "model_final")
-        )
-        del final_params
+        self.ckpt.save("model_final_params", self.eval_params(), tag=False)
         total = time.time() - start_time
         self.logger.info(
             f"Total training time: {datetime.timedelta(seconds=int(total))} "

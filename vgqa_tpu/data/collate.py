@@ -51,6 +51,13 @@ def collate(
         act = np.asarray(s["actioness"], np.float32)
         actioness[i, :t] = act
         span = np.where(act > 0)[0]
+        if span.size == 0:
+            # corrupted/edge annotation: fail loudly with the sample identity
+            # instead of an opaque IndexError inside the prefetch worker
+            raise ValueError(
+                "collate: sample has no positive actioness frame "
+                f"(vid={s.get('vid', '?')!r}, item_id={s.get('item_id', i)!r})"
+            )
         s0, s1 = int(span[0]), int(span[-1])
         sted[i] = (s0, s1)
         boxes[i, s0 : s1 + 1] = np.asarray(s["boxes"], np.float32)

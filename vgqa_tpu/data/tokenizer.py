@@ -30,8 +30,15 @@ PAD_ID = 1   # <pad>
 EOS_ID = 2   # </s>
 UNK_ID = 3   # <unk>
 
+# GPT-2/RoBERTa pre-tokenization. HF's canonical pattern (regex module) is
+#   's|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+
+# stdlib-re translation: [^\W\d_] = \p{L}; \d = \p{N} (decimal subset);
+# underscore is routed to the punctuation class like HF does. Mixed
+# alphanumerics ("2nd", "covid19") therefore split letters/digits exactly
+# like roberta-base (tests/test_tokenizer.py asserts parity vs the regex
+# module's canonical pattern).
 _GPT2_SPLIT = re.compile(
-    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\s\w]+|\s+(?!\S)|\s+| ?\w+"
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+"
 )
 
 

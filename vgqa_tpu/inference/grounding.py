@@ -128,6 +128,18 @@ def predict(
     frame_ids = uniform_sample_indices(total_frames, target_t)
     raw = read_frames(video_path, frame_ids)
 
+    # short videos can sample an odd frame count (uniform_sample_indices
+    # returns total_frames when < target_t); the even/odd split below needs
+    # an even T, so duplicate the last frame (keeps every decoded frame in
+    # a half rather than dropping one)
+    if raw.shape[0] < 2:
+        raw = np.repeat(raw, 2, axis=0)
+        frame_ids = list(frame_ids) * 2
+    if raw.shape[0] % 2:
+        raw = np.concatenate([raw, raw[-1:]], axis=0)
+        frame_ids = list(frame_ids) + [frame_ids[-1]]
+    frame_ids = np.asarray(frame_ids)
+
     # square resize in uint8 (grounding.py:77-87 uses a plain square Resize,
     # not the letterbox train transform); normalization happens on device
     frames = np.empty((raw.shape[0], res, res, 3), np.uint8)

@@ -46,7 +46,11 @@ class CheckpointManager:
             f.write(path)
 
     # -- save/load ---------------------------------------------------------
-    def save(self, name: str, state: Any) -> Optional[str]:
+    def save(self, name: str, state: Any, tag: bool = True) -> Optional[str]:
+        """Save ``state`` under ``name``; ``tag=False`` skips re-pointing the
+        ``last_checkpoint`` tag (used for params-only eval twins, which are
+        not resumable TrainStates and must never become the resume target).
+        """
         if not self.save_to_disk:
             return None
         path = os.path.join(self.output_dir, name)
@@ -54,7 +58,8 @@ class CheckpointManager:
             self.logger.info(f"Saving checkpoint to {path}")
         self._ckpt.save(path, state, force=True)
         self._ckpt.wait_until_finished()
-        self._tag_last_checkpoint(path)
+        if tag:
+            self._tag_last_checkpoint(path)
         return path
 
     def load(self, abstract_state: Any, path: str = "") -> Any:
