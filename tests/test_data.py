@@ -43,7 +43,43 @@ def test_uniform_sample_indices():
 
 
 def test_clean_description():
-    assert clean_description("Thr Dog, runs LEFT!") == "the dog runs left"
+    assert clean_description("Whtie Dog, runs LEFT!") == "white dog runs left"
+    # underscore compounds survive the split and expand to two words
+    assert clean_description("a baby_seat next_to it") == "a baby seat next to it"
+    # digit-only tokens drop; tokens with a letter survive
+    assert clean_description("frame 42 shows 1another man") == (
+        "frame shows another man"
+    )
+
+
+def test_clean_description_matches_reference_table():
+    """Every entry of the reference's typo dict must clean identically
+    (/root/reference/vgqa/data/words.py:1-168 applied by clean_anno,
+    vidstg_dataset.py:40-56)."""
+    import re
+
+    ref_ns = {}
+    with open("/root/reference/vgqa/data/words.py") as f:
+        exec(f.read(), ref_ns)  # constant data table only
+    ref_dict = ref_ns["replace_dict"]
+
+    from vgqa_tpu.data.words import REPLACE_WORDS
+
+    assert REPLACE_WORDS == ref_dict
+
+    split = re.compile(r"(\W+)")
+    word_pt = re.compile(r"[A-Za-z]", re.S)
+
+    def ref_clean(sentence):
+        words = split.split(sentence.strip())
+        words = [w.lower() for w in words if len(w) > 0 and w != " "]
+        words = [w for w in words if word_pt.search(w)]
+        words = [ref_dict.get(w, w) for w in words]
+        return " ".join(words)
+
+    for typo in ref_dict:
+        s = f"the {typo} person waves"
+        assert clean_description(s) == ref_clean(s), typo
 
 
 def test_annotations_and_dataset(data_dir):
