@@ -153,31 +153,37 @@ class VidSTGEvaluator:
         self.video_predictions.update(video_predictions)
 
     def synchronize_between_processes(self):
+        """Merge predictions across hosts (parity with the reference's pickle
+        all_gather, vidstg_evaluator.py:189-199). Uses the size-negotiating
+        ``all_gather_objects`` — payload size is unbounded (a full VidSTG
+        test split is tens of MB of JSON), so no fixed padding."""
         import jax
 
         if jax.process_count() <= 1:
             return
-        from jax.experimental import multihost_utils
+        from ...parallel.distributed import all_gather_objects
 
-        payload = json.dumps(
+        gathered = all_gather_objects(
             {
                 "predictions": self.predictions,
                 "att": self.att_predictions,
                 "video": self.video_predictions,
                 "kf": self.kf_pred,
-            },
-            default=list,
+            }
         )
-        gathered = multihost_utils.process_allgather(
-            np.frombuffer(payload.encode().ljust(1 << 22), dtype=np.uint8)
-        )
-        for row in np.asarray(gathered):
-            data = json.loads(bytes(row).rstrip(b"\x00").decode())
+        self._merge_gathered(gathered)
+
+    def _merge_gathered(self, gathered):
+        """Fold JSON-round-tripped payload dicts from every process back into
+        the accumulators (keys arrive as strings, tuples as lists)."""
+        for data in gathered:
             self.predictions.update({int(k): {int(f): b for f, b in v.items()}
                                      for k, v in data["predictions"].items()})
             self.att_predictions.update({int(k): v for k, v in data["att"].items()})
             self.video_predictions.update({int(k): v for k, v in data["video"].items()})
-            self.kf_pred.update({int(k): v for k, v in data["kf"].items()})
+            self.kf_pred.update(
+                {int(k): tuple(v) for k, v in data["kf"].items()}
+            )
 
     def summarize(self):
         self.results, vid2names, vid2sents = self.evaluator.evaluate(

@@ -47,9 +47,31 @@ def synchronize(tag: str = "barrier") -> None:
         multihost_utils.sync_global_devices(tag)
 
 
+def _json_default(o):
+    """Encode numpy scalars/arrays and other iterables; everything else is
+    the caller's responsibility (see all_gather_objects contract)."""
+    import numpy as np
+
+    if isinstance(o, np.generic):
+        return o.item()
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    return list(o)
+
+
 def all_gather_objects(obj: Any) -> List[Any]:
-    """Gather a picklable object from every process (replacing the padded
-    pickle-tensor all_gather at vgqa/utils/distributed.py:45-80)."""
+    """Gather a JSON-representable object from every process.
+
+    Replaces the reference's padded pickle-tensor all_gather
+    (vgqa/utils/distributed.py:45-80) with a size-negotiated exchange: each
+    process broadcasts its payload length first, so arbitrarily large and
+    per-process-different payloads gather correctly.
+
+    Contract (JSON round-trip, NOT pickle): dict keys become strings,
+    tuples/sets/np arrays become lists, np scalars become Python numbers.
+    Callers must re-key/re-type on receipt (see
+    VidSTGEvaluator._merge_gathered). Objects that are not JSON-encodable
+    (after the numpy conversions above) raise TypeError at the sender."""
     if jax.process_count() <= 1:
         return [obj]
     import json
@@ -57,7 +79,7 @@ def all_gather_objects(obj: Any) -> List[Any]:
     import numpy as np
     from jax.experimental import multihost_utils
 
-    payload = json.dumps(obj, default=list).encode()
+    payload = json.dumps(obj, default=_json_default).encode()
     size = np.array([len(payload)], np.int64)
     max_size = int(multihost_utils.process_allgather(size).max())
     buf = np.zeros(max_size, np.uint8)
