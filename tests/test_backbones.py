@@ -45,6 +45,55 @@ def test_resnet101_param_count():
     assert n == conv + bn_channels
 
 
+def test_resnet_gn_variant_shapes_and_norm():
+    """-gn suffix selects GroupNorm (reference GroupNormBackbone,
+    backbone.py:124-141): params carry GroupNorm scale/bias, no FrozenAffine."""
+    model = build_resnet("resnet_test-gn")
+    assert model.norm == "group"
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (2, 2, 2, model.num_channels)
+    assert np.isfinite(np.asarray(y)).all()
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    names = {"/".join(str(k) for k in path) for path, _ in flat}
+    assert any("bn1" in n and "scale" in n for n in names)
+
+    # gn output differs from frozen-affine output under identical convs
+    frozen = build_resnet("resnet_test")
+    assert frozen.norm == "frozen"
+
+
+def test_resnet50_gn_builds():
+    model = build_resnet("resnet50-gn")
+    assert model.depths == (3, 4, 6, 3) and model.norm == "group"
+
+
+def test_groupnorm_matches_torch():
+    """flax GroupNorm(num_groups) on NHWC must equal torch GroupNorm32 on
+    NCHW (reference backbone.py:118-122)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from flax import linen as nn
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 5, 5, 64).astype(np.float32)
+    gamma = rng.rand(64).astype(np.float32) + 0.5
+    beta = rng.randn(64).astype(np.float32)
+
+    mod = nn.GroupNorm(num_groups=32)
+    params = {"params": {"scale": jnp.asarray(gamma), "bias": jnp.asarray(beta)}}
+    y = np.asarray(mod.apply(params, jnp.asarray(x)))
+
+    t = torch.nn.GroupNorm(32, 64)
+    with torch.no_grad():
+        t.weight.copy_(torch.from_numpy(gamma))
+        t.bias.copy_(torch.from_numpy(beta))
+        yt = t(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(y, yt.numpy(), atol=1e-4)
+
+
 def test_downsample_mask():
     m = jnp.zeros((1, 8, 8), dtype=bool).at[:, :4, :6].set(True)
     out = downsample_mask(m, (2, 2))

@@ -166,3 +166,49 @@ def test_postprocess_respects_time_mask():
         jnp.asarray(tm),
     )
     assert int(s[0]) < 4 and int(e[0]) < 4 and int(s[0]) < int(e[0])
+
+
+@pytest.mark.parametrize("pos_enc", ["sineHW", "learned"])
+def test_pos_enc_variants_forward(pos_enc):
+    """POS_ENC knob parity (reference build_position_encoding,
+    position_encoding.py:131-144): sineHW and learned variants must build
+    and produce the same output schema as the default sine."""
+    import dataclasses
+
+    cfg = dataclasses.replace(GroundingConfig.tiny_test(), pos_enc=pos_enc)
+    model = VSTGNet(cfg)
+    rng = np.random.RandomState(1)
+    video = VideoBatch(
+        frames=jnp.asarray(rng.randn(V, T, H, W, 3).astype(np.float32)),
+        pixel_mask=jnp.ones((V, H, W), bool),
+        time_mask=jnp.ones((V, T), bool),
+    )
+    text = TextBatch(
+        token_ids=jnp.asarray(rng.randint(4, 100, (V, L)).astype(np.int32)),
+        mask=jnp.ones((V, L), bool),
+    )
+    params = model.init(jax.random.PRNGKey(0), video, text, train=False)
+    if pos_enc == "learned":
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        names = {"/".join(str(k) for k in p) for p, _ in flat}
+        assert any("pos_embed_2d" in n for n in names)
+    out = model.apply(params, video, text, train=False)
+    assert out["pred_boxes"].shape == (V, T, 4)
+    assert np.isfinite(np.asarray(out["pred_sted"])).all()
+
+
+def test_pos_enc_unknown_raises():
+    import dataclasses
+
+    cfg = dataclasses.replace(GroundingConfig.tiny_test(), pos_enc="nope")
+    model = VSTGNet(cfg)
+    video = VideoBatch(
+        frames=jnp.zeros((V, T, H, W, 3)),
+        pixel_mask=jnp.ones((V, H, W), bool),
+        time_mask=jnp.ones((V, T), bool),
+    )
+    text = TextBatch(
+        token_ids=jnp.zeros((V, L), jnp.int32), mask=jnp.ones((V, L), bool)
+    )
+    with pytest.raises(ValueError, match="POS_ENC"):
+        model.init(jax.random.PRNGKey(0), video, text, train=False)

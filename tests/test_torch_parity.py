@@ -293,3 +293,69 @@ def test_pos_decoder_layer_cross_attention_vs_torch():
     np.testing.assert_allclose(
         np.asarray(out)[0], _np(ref)[:, 0], atol=3e-5
     )
+
+
+def test_sine_hw_position_matches_torch_reference():
+    """PositionEmbeddingSineHW (position_encoding.py:7-47) with the builder's
+    (20, 20) temperatures, rebuilt in torch, vs sine_position_hw_2d."""
+    import math
+
+    from vgqa_tpu.ops.position_encoding import sine_position_hw_2d
+
+    n_feats, th, tw = 8, 20.0, 20.0
+    mask_np = np.zeros((1, 5, 7), bool)
+    mask_np[:, :4, :6] = True  # True=valid (ours); torch ref uses inverted
+
+    not_mask = torch.from_numpy(mask_np).float()
+    y_embed = not_mask.cumsum(1)
+    x_embed = not_mask.cumsum(2)
+    eps, scale = 1e-6, 2 * math.pi
+    y_embed = y_embed / (y_embed[:, -1:, :] + eps) * scale
+    x_embed = x_embed / (x_embed[:, :, -1:] + eps) * scale
+    dim_tx = torch.arange(n_feats, dtype=torch.float32)
+    dim_tx = tw ** (2 * torch.div(dim_tx, 2, rounding_mode="floor") / n_feats)
+    pos_x = x_embed[:, :, :, None] / dim_tx
+    dim_ty = torch.arange(n_feats, dtype=torch.float32)
+    dim_ty = th ** (2 * torch.div(dim_ty, 2, rounding_mode="floor") / n_feats)
+    pos_y = y_embed[:, :, :, None] / dim_ty
+    pos_x = torch.stack(
+        (pos_x[:, :, :, 0::2].sin(), pos_x[:, :, :, 1::2].cos()), dim=4
+    ).flatten(3)
+    pos_y = torch.stack(
+        (pos_y[:, :, :, 0::2].sin(), pos_y[:, :, :, 1::2].cos()), dim=4
+    ).flatten(3)
+    expected = torch.cat((pos_y, pos_x), dim=3)  # [1, H, W, 2*n]
+
+    got = sine_position_hw_2d(
+        jnp.asarray(mask_np), num_pos_feats=n_feats,
+        temperature_h=th, temperature_w=tw,
+    )
+    np.testing.assert_allclose(np.asarray(got), _np(expected), atol=1e-5)
+
+
+def test_learned_position_2d_matches_torch_reference():
+    """PositionEmbeddingLearned (position_encoding.py:94-128): x-embed then
+    y-embed channel order from row/col tables."""
+    from vgqa_tpu.models.layers import LearnedPosition2D
+
+    n = 4
+    mod = LearnedPosition2D(num_pos_feats=n, table_size=50)
+    params = mod.init(jax.random.PRNGKey(0), 3, 5)
+    row = np.asarray(params["params"]["row_embed"])
+    col = np.asarray(params["params"]["col_embed"])
+
+    t_row = torch.nn.Embedding(50, n)
+    t_col = torch.nn.Embedding(50, n)
+    with torch.no_grad():
+        t_row.weight.copy_(torch.from_numpy(row))
+        t_col.weight.copy_(torch.from_numpy(col))
+    h, w = 3, 5
+    x_emb = t_col(torch.arange(w))
+    y_emb = t_row(torch.arange(h))
+    expected = torch.cat(
+        [x_emb.unsqueeze(0).repeat(h, 1, 1), y_emb.unsqueeze(1).repeat(1, w, 1)],
+        dim=-1,
+    )
+
+    got = mod.apply(params, h, w)
+    np.testing.assert_allclose(np.asarray(got), _np(expected), atol=1e-6)

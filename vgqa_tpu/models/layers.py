@@ -47,6 +47,33 @@ class FeatureResizer(nn.Module):
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
 
+class LearnedPosition2D(nn.Module):
+    """Learnable 2D position embeddings from row/col tables.
+
+    Parity with PositionEmbeddingLearned (/root/reference/vgqa/core/vision/
+    position_encoding.py:94-128): 50-entry uniform-initialized row and col
+    embeddings; output channel order is x-embed then y-embed (the learned
+    variant orders x first, unlike the sine variants)."""
+
+    num_pos_feats: int = 128
+    table_size: int = 50
+
+    @nn.compact
+    def __call__(self, h: int, w: int) -> jnp.ndarray:
+        """Returns [h, w, 2*num_pos_feats]."""
+        row = self.param(
+            "row_embed", nn.initializers.uniform(scale=1.0),
+            (self.table_size, self.num_pos_feats),
+        )
+        col = self.param(
+            "col_embed", nn.initializers.uniform(scale=1.0),
+            (self.table_size, self.num_pos_feats),
+        )
+        x_emb = jnp.broadcast_to(col[None, :w], (h, w, self.num_pos_feats))
+        y_emb = jnp.broadcast_to(row[:h, None], (h, w, self.num_pos_feats))
+        return jnp.concatenate([x_emb, y_emb], axis=-1)
+
+
 class MultiHeadAttention(nn.Module):
     """Projected multi-head attention (torch nn.MultiheadAttention shape).
 

@@ -54,6 +54,16 @@ def _conv(features, kernel, stride=1, dilation=1, name=None):
     )
 
 
+def _make_norm(norm: str, features: int, name: str):
+    """"frozen" = folded inference BatchNorm affine; "group" = trainable
+    32-group GroupNorm (reference GroupNorm32, backbone.py:118-122)."""
+    if norm == "group":
+        # 32 groups for every real channel width (min width is 64 on
+        # resnet50/101); the min() only engages for the tiny test trunk
+        return nn.GroupNorm(num_groups=min(32, features), name=name)
+    return FrozenAffine(features, name=name)
+
+
 class Bottleneck(nn.Module):
     """ResNet v1.5 bottleneck (stride on the 3x3, as torchvision)."""
 
@@ -61,21 +71,22 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dilation: int = 1
     downsample: bool = False
+    norm: str = "frozen"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         identity = x
         out = _conv(self.planes, 1, name="conv1")(x)
-        out = FrozenAffine(self.planes, name="bn1")(out)
+        out = _make_norm(self.norm, self.planes, "bn1")(out)
         out = nn.relu(out)
         out = _conv(self.planes, 3, self.stride, self.dilation, name="conv2")(out)
-        out = FrozenAffine(self.planes, name="bn2")(out)
+        out = _make_norm(self.norm, self.planes, "bn2")(out)
         out = nn.relu(out)
         out = _conv(self.planes * 4, 1, name="conv3")(out)
-        out = FrozenAffine(self.planes * 4, name="bn3")(out)
+        out = _make_norm(self.norm, self.planes * 4, "bn3")(out)
         if self.downsample:
             identity = _conv(self.planes * 4, 1, self.stride, name="downsample_conv")(x)
-            identity = FrozenAffine(self.planes * 4, name="downsample_bn")(identity)
+            identity = _make_norm(self.norm, self.planes * 4, "downsample_bn")(identity)
         return nn.relu(out + identity)
 
 
@@ -90,6 +101,7 @@ class ResNetBackbone(nn.Module):
     depths: Sequence[int] = (3, 4, 23, 3)
     dilation: bool = False
     width: int = 64
+    norm: str = "frozen"  # "frozen" (folded BN) | "group" (GroupNorm32)
 
     @property
     def num_channels(self) -> int:
@@ -99,7 +111,7 @@ class ResNetBackbone(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: [N, H, W, 3] -> [N, H/32 (or /16 for DC5), W/32, 2048]"""
         x = _conv(self.width, 7, 2, name="conv1")(x)
-        x = FrozenAffine(self.width, name="bn1")(x)
+        x = _make_norm(self.norm, self.width, "bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -115,12 +127,19 @@ class ResNetBackbone(nn.Module):
                     stride=first_stride if b == 0 else 1,
                     dilation=dil,
                     downsample=(b == 0),
+                    norm=self.norm,
                     name=f"layer{stage + 1}_{b}",
                 )(x)
         return x
 
 
 def build_resnet(name: str, dilation: bool = False) -> ResNetBackbone:
+    """Backbone zoo; "-gn" suffix selects trainable GroupNorm32 normalization
+    (reference GroupNormBackbone, backbone.py:124-141)."""
+    norm = "frozen"
+    if name.endswith("-gn"):
+        norm = "group"
+        name = name[: -len("-gn")]
     depths = {
         "resnet50": (3, 4, 6, 3),
         "resnet101": (3, 4, 23, 3),
@@ -128,7 +147,8 @@ def build_resnet(name: str, dilation: bool = False) -> ResNetBackbone:
         "resnet_test": (1, 1, 1, 1),
     }[name]
     width = 64 if name != "resnet_test" else 8
-    return ResNetBackbone(depths=depths, dilation=dilation, width=width)
+    return ResNetBackbone(depths=depths, dilation=dilation, width=width,
+                          norm=norm)
 
 
 def downsample_mask(pixel_mask: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:

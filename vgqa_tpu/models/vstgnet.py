@@ -28,11 +28,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.position_encoding import sine_position_2d
+from ..ops.position_encoding import sine_position_2d, sine_position_hw_2d
 from ..utils.containers import TextBatch, VideoBatch
 from .decoder import QueryDecoder
 from .encoder import CrossModalEncoder, SpatialActivation, TemporalSampling
-from .layers import MLP
+from .layers import MLP, LearnedPosition2D
 from .resnet import build_resnet, downsample_mask
 from .roberta import RobertaConfig, TextEncoder
 from .video_swin import VIDEO_SWIN_CONFIGS, VideoSwinBackbone, VideoSwinConfig
@@ -53,6 +53,7 @@ class GroundingConfig:
     use_learned_time_embed: bool = False
     resnet: str = "resnet101"
     resnet_dilation: bool = False
+    pos_enc: str = "sine"            # sine | sineHW | learned (POS_ENC knob)
     swin: str = "video_swin_t_p4w7"  # "" disables the Swin tower (stub conv)
     swin_feature_dim: int = 768
     freeze_swin: bool = True
@@ -80,6 +81,7 @@ class GroundingConfig:
             use_learned_time_embed=m.VSTG.USE_LEARN_TIME_EMBED,
             resnet=m.VISION_BACKBONE.NAME,
             resnet_dilation=m.VISION_BACKBONE.DILATION,
+            pos_enc=m.VISION_BACKBONE.POS_ENC,
             swin=m.VIDEO_SWIN.MODEL_NAME if m.VIDEO_SWIN.ENABLED else "",
             swin_feature_dim=m.VIDEO_SWIN.FEATURE_DIM,
             freeze_swin=m.VIDEO_SWIN.FREEZE,
@@ -160,6 +162,12 @@ class VSTGNet(nn.Module):
         )
         self.temp_embed = MLP(c.hidden, 2, 2, dropout=0.3, name="temp_embed")
         self.action_embed = MLP(c.hidden, 1, 2, dropout=0.3, name="action_embed")
+        if c.pos_enc == "learned":
+            self.pos_embed_2d = LearnedPosition2D(
+                c.hidden // 2, name="pos_embed_2d"
+            )
+        elif c.pos_enc not in ("sine", "sineHW"):
+            raise ValueError(f"not supported POS_ENC: {c.pos_enc}")
 
     def __call__(
         self,
@@ -193,7 +201,16 @@ class VSTGNet(nn.Module):
         swin_tokens = self.input_proj2(swin_out).reshape(V, T, h_ * w_, c.hidden)
 
         feat_mask = downsample_mask(video.pixel_mask, (h_, w_))  # [V, h, w]
-        vis_pos = sine_position_2d(feat_mask, num_pos_feats=c.hidden // 2)
+        # POS_ENC selection (reference build_position_encoding,
+        # position_encoding.py:131-144)
+        if c.pos_enc == "sineHW":
+            vis_pos = sine_position_hw_2d(feat_mask, num_pos_feats=c.hidden // 2)
+        elif c.pos_enc == "learned":
+            vis_pos = jnp.broadcast_to(
+                self.pos_embed_2d(h_, w_)[None], (V, h_, w_, c.hidden)
+            )
+        else:
+            vis_pos = sine_position_2d(feat_mask, num_pos_feats=c.hidden // 2)
         vis_pos = vis_pos.reshape(V, h_ * w_, c.hidden).astype(vis_tokens.dtype)
         vis_mask = feat_mask.reshape(V, h_ * w_)
 

@@ -55,6 +55,39 @@ def sine_position_2d(
     return jnp.concatenate([pos_y, pos_x], axis=-1)
 
 
+def sine_position_hw_2d(
+    pixel_mask: jnp.ndarray,
+    num_pos_feats: int = 128,
+    temperature_h: float = 20.0,
+    temperature_w: float = 20.0,
+    normalize: bool = True,
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """2D sine embedding with separate H/W temperatures.
+
+    Parity with PositionEmbeddingSineHW (/root/reference/vgqa/core/vision/
+    position_encoding.py:7-47); the builder instantiates it with
+    temperatures (20, 20) (position_encoding.py:138). Same y-then-x channel
+    order as :func:`sine_position_2d`.
+    """
+    if scale is None:
+        scale = 2 * math.pi
+    not_mask = pixel_mask.astype(jnp.float32)
+    y_embed = jnp.cumsum(not_mask, axis=-2)
+    x_embed = jnp.cumsum(not_mask, axis=-1)
+    if normalize:
+        eps = 1e-6
+        y_embed = y_embed / (y_embed[..., -1:, :] + eps) * scale
+        x_embed = x_embed / (x_embed[..., :, -1:] + eps) * scale
+
+    idx = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_tx = temperature_w ** (2 * jnp.floor(idx / 2) / num_pos_feats)
+    dim_ty = temperature_h ** (2 * jnp.floor(idx / 2) / num_pos_feats)
+    pos_x = _interleave_sin_cos(x_embed[..., None] / dim_tx)
+    pos_y = _interleave_sin_cos(y_embed[..., None] / dim_ty)
+    return jnp.concatenate([pos_y, pos_x], axis=-1)
+
+
 def sine_position_1d(length: int, d_model: int) -> jnp.ndarray:
     """1D sequence sine embedding [length, d_model].
 
