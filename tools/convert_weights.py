@@ -3,6 +3,11 @@
 Subcommands:
   grounding  — a reference-framework VSTGNet checkpoint (e.g. the TA-STVG
                vidstg.pth release) -> full model params (orbax dir)
+  mdetr      — an MDETR/TubeDETR-format pretrained checkpoint -> full model
+               params: warm-startable components (backbone, text tower,
+               input_proj, encoder layers, TubeDETR decoders) are remapped
+               (reference checkpoint_manager.py:118-164), the rest keep
+               fresh initialization; requires --config for model shape
   resnet     — torchvision ResNet-50/101 state dict -> backbone subtree
   roberta    — HF RobertaModel state dict -> text tower subtree
   video_swin — K400 Video Swin checkpoint -> Swin subtree
@@ -55,13 +60,16 @@ def _save(tree, dst: str):
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
-    for name in ("grounding", "resnet", "roberta", "video_swin", "qa"):
+    for name in ("grounding", "mdetr", "resnet", "roberta", "video_swin", "qa"):
         p = sub.add_parser(name)
         p.add_argument("--src", required=True, help="torch checkpoint path")
         p.add_argument("--dst", required=True, help="output orbax dir")
         if name == "qa":
             p.add_argument("--quantize", action="store_true",
                            help="int8 weight-only quantize the LLM")
+        if name == "mdetr":
+            p.add_argument("--config", required=True,
+                           help="model config yaml (for fresh-init shapes)")
     args = parser.parse_args()
 
     if args.cmd == "qa":
@@ -90,6 +98,48 @@ def main():
         return
 
     sd = _load_torch_sd(args.src)
+    if args.cmd == "mdetr":
+        import jax
+        import jax.numpy as jnp
+
+        from vgqa_tpu.config import build_default_cfg
+        from vgqa_tpu.models import GroundingConfig, VSTGNet
+        from vgqa_tpu.models.convert_grounding import (
+            convert_mdetr_warmstart,
+            merge_partial_params,
+        )
+        from vgqa_tpu.utils.containers import TextBatch, VideoBatch
+
+        cfg = build_default_cfg()
+        cfg.merge_from_file(args.config)
+        gcfg = GroundingConfig.from_cfg(cfg)
+        model = VSTGNet(gcfg)
+        # param shapes don't depend on input resolution: init tiny
+        video = VideoBatch(
+            frames=jnp.zeros((1, 2, 64, 64, 3)),
+            pixel_mask=jnp.ones((1, 64, 64), bool),
+            time_mask=jnp.ones((1, 2), bool),
+        )
+        text = TextBatch(jnp.zeros((1, 8), jnp.int32), jnp.ones((1, 8), bool))
+        init = jax.jit(
+            lambda rng: model.init(rng, video, text, train=False)
+        )(jax.random.PRNGKey(0))
+        partial, loaded = convert_mdetr_warmstart(
+            sd,
+            enc_layers=gcfg.enc_layers,
+            dec_layers=gcfg.dec_layers,
+            resnet_depths={"resnet50": (3, 4, 6, 3)}.get(
+                gcfg.resnet.replace("-gn", ""), (3, 4, 23, 3)
+            ),
+            roberta_layers=gcfg.text.num_layers,
+        )
+        tree, n_loaded, skipped = merge_partial_params(init, partial)
+        print(f"warm-started components: {loaded}")
+        print(f"leaves loaded: {n_loaded}, shape-skipped: {len(skipped)}")
+        if skipped:
+            print("skipped:", skipped[:10])
+        _save(tree, args.dst)
+        return
     if args.cmd == "grounding":
         # strip a "backbone." prefix some releases carry on the Swin subtree
         from vgqa_tpu.models.convert_grounding import convert_grounding_reference

@@ -152,6 +152,149 @@ def _pos_decoder_layer(sd: StateDict, prefix: str, is_first: bool) -> Dict:
     return out
 
 
+def mdetr_to_reference_sd(sd: StateDict) -> StateDict:
+    """Rename MDETR/TubeDETR-format checkpoint keys into reference-VSTGNet
+    naming, inverting the reference's warm-start load_mapping
+    (/root/reference/vgqa/utils/checkpoint_manager.py:118-164):
+
+    * ``backbone.0.body.*``             -> ``vis_encoder.0.body.*``
+    * ``transformer.text_encoder.*``    -> ``text_encoder.body.*``
+    * ``transformer.resizer.*``         -> ``text_encoder.resizer.*``
+    * ``input_proj.*``                  -> ``input_proj.*``
+    * ``transformer.encoder.layers.*``  -> ``ground_encoder.encoder.spatial_layers.*``
+    * ``transformer.<rest>``            -> ``ground_decoder.<rest>`` (TubeDETR
+      time/pos decoders; plain-MDETR decoder keys simply find no target)
+
+    The reference's ``bbox_embed`` rule is dead (VSTGNet has no top-level
+    ``bbox_embed``; its bbox head lives at ``ground_decoder.decoder.bbox_embed``
+    which the ``ground_decoder`` rule already covers), so no rule here."""
+    out: StateDict = {}
+    enc_pre = "transformer.encoder.layers."
+    for k, v in sd.items():
+        if k.startswith("backbone.0.body."):
+            out["vis_encoder.0.body." + k[len("backbone.0.body.") :]] = v
+        elif k.startswith("transformer.text_encoder."):
+            out["text_encoder.body." + k[len("transformer.text_encoder.") :]] = v
+        elif k.startswith("transformer.resizer."):
+            out["text_encoder.resizer." + k[len("transformer.resizer.") :]] = v
+        elif k.startswith("input_proj."):
+            out[k] = v
+        elif k.startswith(enc_pre):
+            out["ground_encoder.encoder.spatial_layers." + k[len(enc_pre) :]] = v
+        elif k.startswith("transformer."):
+            out["ground_decoder." + k[len("transformer.") :]] = v
+    return out
+
+
+def convert_mdetr_warmstart(
+    sd: StateDict,
+    enc_layers: int = 6,
+    dec_layers: int = 6,
+    resnet_depths=(3, 4, 23, 3),
+    roberta_layers: int = 12,
+):
+    """MDETR/TubeDETR-format state dict -> partial flax params for warm start.
+
+    Returns ``(partial_params, loaded)`` where ``partial_params`` holds only
+    the components fully present in ``sd`` and ``loaded`` names them.
+    Equivalent capability to the reference's MDETR key remap
+    (checkpoint_manager.py:118-164), which loads with strict=False — here
+    absent components are skipped per-component/per-layer instead."""
+    ref = mdetr_to_reference_sd(sd)
+    params: Dict = {}
+    loaded = []
+
+    def attempt(name, fn, into=None):
+        try:
+            tree = fn()
+        except KeyError:
+            return
+        (into if into is not None else params)[name] = tree
+        loaded.append(name)
+
+    attempt("vis_encoder", lambda: convert_resnet(
+        _sub(ref, "vis_encoder.0.body."), resnet_depths))
+    attempt("text_encoder", lambda: {
+        "body": convert_roberta(_sub(ref, "text_encoder.body."), roberta_layers),
+        "resizer": {
+            "fc": _dense(ref, "text_encoder.resizer.fc"),
+            "layer_norm": _ln(ref, "text_encoder.resizer.layer_norm"),
+        },
+    })
+    attempt("input_proj", lambda: _conv1x1_as_dense(ref, "input_proj"))
+
+    enc: Dict = {}
+    for i in range(enc_layers):
+        attempt(f"layer_{i}", lambda i=i: _encoder_layer(
+            ref, f"ground_encoder.encoder.spatial_layers.{i}"), into=enc)
+    if enc:
+        params["ground_encoder"] = enc
+
+    dec: Dict = {}
+    time_dec: Dict = {}
+    pos_dec: Dict = {}
+    for i in range(dec_layers):
+        attempt(f"layer_{i}", lambda i=i: _time_decoder_layer(
+            ref, f"ground_decoder.time_decoder.layers.{i}"), into=time_dec)
+        attempt(f"layer_{i}", lambda i=i: _pos_decoder_layer(
+            ref, f"ground_decoder.decoder.layers.{i}", is_first=(i == 0)),
+            into=pos_dec)
+    attempt("norm", lambda: _ln(ref, "ground_decoder.time_decoder.norm"),
+            into=time_dec)
+    for name, fn in (
+        ("query_scale", lambda: _mlp(ref, "ground_decoder.decoder.query_scale", 2)),
+        ("ref_point_head", lambda: _mlp(ref, "ground_decoder.decoder.ref_point_head", 2)),
+        ("bbox_embed", lambda: _mlp(ref, "ground_decoder.decoder.bbox_embed", 3)),
+    ):
+        attempt(name, fn, into=pos_dec)
+    if time_dec:
+        dec["time_decoder"] = time_dec
+    if pos_dec:
+        dec["decoder"] = pos_dec
+    for flax_name, torch_pre in (
+        ("pos_fc_ln1", "ground_decoder.pos_fc.0"),
+        ("pos_fc_linear", "ground_decoder.pos_fc.2"),
+        ("pos_fc_ln2", "ground_decoder.pos_fc.4"),
+        ("time_fc_ln1", "ground_decoder.time_fc.0"),
+        ("time_fc_linear", "ground_decoder.time_fc.2"),
+        ("time_fc_ln2", "ground_decoder.time_fc.4"),
+    ):
+        fn = _ln if flax_name.endswith(("ln1", "ln2")) else _dense
+        attempt(flax_name, lambda fn=fn, p=torch_pre: fn(ref, p), into=dec)
+    if dec:
+        params["ground_decoder"] = dec
+    return {"params": params}, loaded
+
+
+def merge_partial_params(base, partial):
+    """Overlay ``partial``'s leaves onto a copy of ``base`` where paths and
+    shapes match; returns ``(merged, n_loaded, skipped_paths)``."""
+    skipped: list = []
+    n_loaded = 0
+
+    def rec(b, p, path):
+        nonlocal n_loaded
+        if isinstance(p, dict):
+            if not isinstance(b, dict):
+                skipped.append(path)
+                return b
+            out = dict(b)
+            for k, v in p.items():
+                if k in b:
+                    out[k] = rec(b[k], v, f"{path}/{k}")
+                else:
+                    skipped.append(f"{path}/{k}")
+            return out
+        if hasattr(b, "shape") and tuple(np.shape(p)) != tuple(b.shape):
+            skipped.append(path)
+            return b
+        n_loaded += 1
+        return p  # caller casts leaves (jax.tree.map(jnp.asarray, ...))
+
+    merged = rec(base, partial, "")
+    return merged, n_loaded, skipped
+
+
 def convert_grounding_reference(
     sd: StateDict,
     enc_layers: int = 6,
