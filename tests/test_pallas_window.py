@@ -1,81 +1,134 @@
-"""Fused window-attention kernel numerics vs the einsum path."""
+"""Fused window-attention / Swin-block kernel numerics vs the XLA path
+(interpret mode on the CPU mesh; the same kernels run natively on TPU)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vgqa_tpu.ops.attention import dot_product_attention
 from vgqa_tpu.ops.pallas.window_attention import window_attention
 
 
-def _reference(q, k, v, bias, mask):
-    """einsum window attention: q/k/v [W, H, N, D]."""
-    W, H, N, D = q.shape
-    logits = jnp.einsum("whnd,whmd->whnm", q, k) * (D**-0.5)
+def _reference(q, k, v, bias, region, num_heads):
+    """einsum window attention: q/k/v [W, N, C] heads packed in C."""
+    W, N, C = q.shape
+    D = C // num_heads
+    qh = q.reshape(W, N, num_heads, D).transpose(0, 2, 1, 3)
+    kh = k.reshape(W, N, num_heads, D).transpose(0, 2, 1, 3)
+    vh = v.reshape(W, N, num_heads, D).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("whnd,whmd->whnm", qh, kh) * (D**-0.5)
     logits = logits + bias[None]
-    if mask is not None:
-        logits = logits + mask[:, None]
+    if region is not None:
+        if region.shape[0] != W:
+            region = jnp.tile(region, (W // region.shape[0], 1))
+        rm = jnp.where(
+            region[:, None, :, None] != region[:, None, None, :], -1e30, 0.0
+        )
+        logits = logits + rm
     p = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("whnm,whmd->whnd", p, v)
+    o = jnp.einsum("whnm,whmd->whnd", p, vh)
+    return o.transpose(0, 2, 1, 3).reshape(W, N, C)
 
 
 def test_window_attention_no_mask():
     rng = np.random.RandomState(0)
-    W, H, N, D = 3, 2, 24, 16
-    q = jnp.asarray(rng.randn(W, H, N, D).astype(np.float32))
-    k = jnp.asarray(rng.randn(W, H, N, D).astype(np.float32))
-    v = jnp.asarray(rng.randn(W, H, N, D).astype(np.float32))
+    W, N, H, D = 3, 24, 2, 16
+    C = H * D
+    q = jnp.asarray(rng.randn(W, N, C).astype(np.float32))
+    k = jnp.asarray(rng.randn(W, N, C).astype(np.float32))
+    v = jnp.asarray(rng.randn(W, N, C).astype(np.float32))
     bias = jnp.asarray(rng.randn(H, N, N).astype(np.float32))
-    ref = _reference(q, k, v, bias, None)
-    out = window_attention(q, k, v, bias, interpret=True)
+    ref = _reference(q, k, v, bias, None, H)
+    out = window_attention(q, k, v, bias, num_heads=H, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
-def test_window_attention_with_shift_mask():
+def test_window_attention_with_region_ids():
     rng = np.random.RandomState(1)
-    W, H, N, D = 4, 3, 18, 8
-    q = jnp.asarray(rng.randn(W, H, N, D).astype(np.float32))
-    k = jnp.asarray(rng.randn(W, H, N, D).astype(np.float32))
-    v = jnp.asarray(rng.randn(W, H, N, D).astype(np.float32))
+    W, N, H, D = 4, 18, 3, 8
+    C = H * D
+    q = jnp.asarray(rng.randn(W, N, C).astype(np.float32))
+    k = jnp.asarray(rng.randn(W, N, C).astype(np.float32))
+    v = jnp.asarray(rng.randn(W, N, C).astype(np.float32))
     bias = jnp.asarray(rng.randn(H, N, N).astype(np.float32))
-    mask = jnp.asarray(
-        np.where(rng.rand(W, N, N) > 0.5, 0.0, -100.0).astype(np.float32)
+    # region pattern covering half the windows: wrapper tiles it to W
+    region = jnp.asarray(rng.randint(0, 3, (2, N)).astype(np.int32))
+    ref = _reference(q, k, v, bias, region, H)
+    out = window_attention(
+        q, k, v, bias, region=region, num_heads=H, interpret=True
     )
-    ref = _reference(q, k, v, bias, mask)
-    out = window_attention(q, k, v, bias, mask, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
 def test_window_attention_swin_shapes():
-    """The real Swin tile: N=392 (8x7x7 window), head_dim 32."""
+    """The real Swin tile: N=392 (8x7x7 window), 3 heads of 32."""
     rng = np.random.RandomState(2)
-    W, H, N, D = 2, 3, 392, 32
-    q = jnp.asarray(rng.randn(W, H, N, D).astype(np.float32) * 0.1)
-    k = jnp.asarray(rng.randn(W, H, N, D).astype(np.float32) * 0.1)
-    v = jnp.asarray(rng.randn(W, H, N, D).astype(np.float32) * 0.1)
+    W, N, H, D = 2, 392, 3, 32
+    C = H * D
+    q = jnp.asarray(rng.randn(W, N, C).astype(np.float32) * 0.1)
+    k = jnp.asarray(rng.randn(W, N, C).astype(np.float32) * 0.1)
+    v = jnp.asarray(rng.randn(W, N, C).astype(np.float32) * 0.1)
     bias = jnp.asarray(rng.randn(H, N, N).astype(np.float32) * 0.1)
-    ref = _reference(q, k, v, bias, None)
-    out = window_attention(q, k, v, bias, interpret=True)
+    ref = _reference(q, k, v, bias, None, H)
+    out = window_attention(q, k, v, bias, num_heads=H, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
-def test_swin_block_flash_matches_einsum():
-    """Whole SwinBlock3D with use_flash must match the einsum block."""
-    from vgqa_tpu.models.video_swin import SwinBlock3D
+def test_fused_block_matches_module():
+    """fused_block_apply (megakernel) must match SwinBlock3D, including a
+    shifted block (region mask path)."""
+    from vgqa_tpu.models.video_swin import SwinBlock3D, fused_block_apply
 
     rng = np.random.RandomState(3)
     x = jnp.asarray(rng.randn(1, 4, 6, 6, 8).astype(np.float32))
-    common = dict(dim=8, num_heads=2, window=(2, 2, 2), shift=(1, 1, 1))
-    ein = SwinBlock3D(**common, use_flash=False)
-    fla = SwinBlock3D(**common, use_flash=True)
-    params = ein.init(jax.random.PRNGKey(0), x)
-    out_e = ein.apply(params, x)
-    # interpret mode on CPU mesh: force the kernel's interpret path by
-    # running under pltpu interpreter
-    from jax.experimental.pallas import tpu as pltpu
+    for shift in ((0, 0, 0), (1, 1, 1)):
+        block = SwinBlock3D(dim=8, num_heads=2, window=(2, 2, 2), shift=shift)
+        params = block.init(jax.random.PRNGKey(0), x)
+        out_m = block.apply(params, x)
+        out_f = fused_block_apply(
+            x, params["params"], (2, 2, 2), shift, 2, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_f), np.asarray(out_m), atol=5e-5, rtol=1e-4
+        )
 
-    with pltpu.force_tpu_interpret_mode():
-        out_f = fla.apply(params, x)
-    np.testing.assert_allclose(
-        np.asarray(out_f), np.asarray(out_e), atol=5e-5
+
+def test_fused_block_with_padding_matches_module():
+    """Odd spatial dims force window padding: the kernel's validity-mask
+    handling must reproduce the module's pad-after-LN zeros exactly."""
+    from vgqa_tpu.models.video_swin import SwinBlock3D, fused_block_apply
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 3, 5, 7, 8).astype(np.float32))
+    for shift in ((0, 0, 0), (1, 1, 1)):
+        block = SwinBlock3D(dim=8, num_heads=2, window=(2, 2, 2), shift=shift)
+        params = block.init(jax.random.PRNGKey(0), x)
+        out_m = block.apply(params, x)
+        out_f = fused_block_apply(
+            x, params["params"], (2, 2, 2), shift, 2, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_f), np.asarray(out_m), atol=5e-5, rtol=1e-4
+        )
+
+
+def test_fused_backbone_matches_module():
+    """Whole-backbone fused forward vs VideoSwinBackbone.apply on the tiny
+    config with non-multiple spatial dims."""
+    from vgqa_tpu.models.video_swin import (
+        VideoSwinBackbone,
+        VideoSwinConfig,
+        fused_backbone_apply,
     )
+
+    cfg = VideoSwinConfig.tiny_test()
+    model = VideoSwinBackbone(cfg)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 3, 20, 12, 3).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out_m = model.apply(params, x)
+    out_f = fused_backbone_apply(params["params"], x, cfg, interpret=True)
+    assert set(out_f) == set(out_m)
+    for k in out_m:
+        np.testing.assert_allclose(
+            np.asarray(out_f[k]), np.asarray(out_m[k]), atol=1e-4, rtol=1e-3
+        )

@@ -170,7 +170,9 @@ def _tpu_cfg() -> Cfg:
     t.PARAM_DTYPE = "float32"
     t.MESH_DP = 0                   # 0 = all devices on the data axis
     t.MESH_TP = 1                   # tensor-parallel width (model axis)
-    t.USE_PALLAS_ATTENTION = False  # fused attention kernels where applicable
+    # fused Pallas kernels on the serving path (Swin block megakernel);
+    # training keeps the differentiable XLA path regardless
+    t.USE_PALLAS_ATTENTION = True
     t.REMAT = False                 # jax.checkpoint over encoder/decoder blocks
     t.DONATE = True                 # donate train-state buffers to the step
     t.PROFILE_DIR = ""              # capture a jax.profiler trace of steps 10-14

@@ -21,7 +21,7 @@ grounding model consumes stage '3' (768ch at stride 32).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -132,7 +132,6 @@ class WindowAttention3D(nn.Module):
     window: Tuple3
     num_heads: int
     qkv_bias: bool = True
-    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None):
@@ -149,27 +148,6 @@ class WindowAttention3D(nn.Module):
 
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        if self.use_flash:
-            # fused VMEM-resident kernel: nothing [N, N]-sized reaches HBM
-            from ..ops.pallas.window_attention import window_attention
-
-            hd = C // self.num_heads
-
-            def heads_first(t):
-                return t.reshape(B_, N, self.num_heads, hd).transpose(0, 2, 1, 3)
-
-            full_mask = None
-            if mask is not None:
-                nW = mask.shape[0]
-                full_mask = jnp.broadcast_to(
-                    mask[None], (B_ // nW, nW, N, N)
-                ).reshape(B_, N, N)
-            out = window_attention(
-                heads_first(q), heads_first(k), heads_first(v), bias, full_mask
-            )
-            out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
-            return nn.Dense(C, name="proj")(out)
 
         # Inline attention with *separate* broadcast adds for bias and
         # shift mask: precombining them (bias[None,None] + mask[None,:,None])
@@ -228,7 +206,8 @@ class SwinBlock3D(nn.Module):
     shift: Tuple3
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
-    use_flash: bool = False
+    use_flash: bool = False  # kept for config threading; the fused Pallas
+    # path runs at the backbone level (fused_backbone_apply), not here
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -255,8 +234,7 @@ class SwinBlock3D(nn.Module):
         # pass the FULL configured window so the bias table keeps its
         # checkpoint-compatible size regardless of runtime clamping
         attn = WindowAttention3D(
-            self.dim, self.window, self.num_heads, use_flash=self.use_flash,
-            name="attn",
+            self.dim, self.window, self.num_heads, name="attn",
         )(windows, mask)
         h = window_reverse(attn, window, B, Dp, Hp, Wp)
 
@@ -404,3 +382,164 @@ class VideoSwinBackbone(nn.Module):
 
 def build_video_swin(name: str) -> VideoSwinBackbone:
     return VideoSwinBackbone(VIDEO_SWIN_CONFIGS[name])
+
+
+# ---------------------------------------------------------------------------
+# Fused serving path (Pallas megakernel per block).
+#
+# Pure functions over the SAME parameter tree the flax module creates, so
+# checkpoints/converters are shared. Used for inference only (the kernel has
+# no VJP); the flax module remains the differentiable path.
+# ---------------------------------------------------------------------------
+
+def _region_partition(dims_padded: Tuple3, window: Tuple3,
+                      shift: Tuple3) -> jnp.ndarray:
+    """SW-MSA region ids per window: [nW, N] int32 (cf. compute_shift_mask —
+    same construction, stopping before the pairwise compare, which the
+    kernel performs per window in VMEM)."""
+    Dp, Hp, Wp = dims_padded
+    wd, wh, ww = window
+    region = (
+        _region_ids(Dp, wd, shift[0])[:, None, None] * 9
+        + _region_ids(Hp, wh, shift[1])[None, :, None] * 3
+        + _region_ids(Wp, ww, shift[2])[None, None, :]
+    )
+    region = region.reshape(Dp // wd, wd, Hp // wh, wh, Wp // ww, ww)
+    return region.transpose(0, 2, 4, 1, 3, 5).reshape(-1, wd * wh * ww)
+
+
+def _valid_partition(dims: Tuple3, dims_padded: Tuple3, window: Tuple3,
+                     shift: Tuple3) -> Optional[jnp.ndarray]:
+    """Per-window validity (1=real token, 0=pad) in ROLLED coordinates, or
+    None when no padding exists. The XLA path pads zeros after LN1; the
+    kernel multiplies LN1 output by this mask to reproduce that exactly."""
+    D, H, W = dims
+    Dp, Hp, Wp = dims_padded
+    if (D, H, W) == (Dp, Hp, Wp):
+        return None
+    wd, wh, ww = window
+    v = (
+        (jnp.arange(Dp) < D)[:, None, None]
+        & (jnp.arange(Hp) < H)[None, :, None]
+        & (jnp.arange(Wp) < W)[None, None, :]
+    ).astype(jnp.float32)
+    if any(shift):
+        v = jnp.roll(v, shift=(-shift[0], -shift[1], -shift[2]),
+                     axis=(0, 1, 2))
+    v = v.reshape(Dp // wd, wd, Hp // wh, wh, Wp // ww, ww)
+    return v.transpose(0, 2, 4, 1, 3, 5).reshape(-1, wd * wh * ww)
+
+
+def fused_block_apply(
+    x: jnp.ndarray,            # [B, D, H, W, C]
+    p: Dict,                   # SwinBlock3D param subtree
+    full_window: Tuple3,
+    shift: Tuple3,
+    num_heads: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One Swin block via the fused kernel; window layout handled here
+    (pad/roll/partition are XLA copies that fuse into one pass each way)."""
+    from ..ops.pallas.swin_block import swin_block_fused
+
+    B, D, H, W, C = x.shape
+    window, shift = _adjust_window((D, H, W), full_window, shift)
+    N = window[0] * window[1] * window[2]
+
+    pad_d, pad_h, pad_w = (-D) % window[0], (-H) % window[1], (-W) % window[2]
+    Dp, Hp, Wp = D + pad_d, H + pad_h, W + pad_w
+
+    h = jnp.pad(x, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0)))
+    if any(shift):
+        h = jnp.roll(h, shift=(-shift[0], -shift[1], -shift[2]),
+                     axis=(1, 2, 3))
+        region = _region_partition((Dp, Hp, Wp), window, shift)
+    else:
+        region = None
+    valid = _valid_partition((D, H, W), (Dp, Hp, Wp), window, shift)
+    windows = window_partition(h, window)    # [B*nW, N, C]
+
+    index = _relative_position_index(full_window)[:N, :N].reshape(-1)
+    table = p["attn"]["relative_position_bias_table"]
+    bias = (
+        table[index].reshape(N, N, num_heads).transpose(2, 0, 1)
+    ).astype(jnp.float32)
+
+    out = swin_block_fused(
+        windows,
+        p["norm1"]["scale"], p["norm1"]["bias"],
+        p["attn"]["qkv"]["kernel"], p["attn"]["qkv"]["bias"],
+        p["attn"]["proj"]["kernel"], p["attn"]["proj"]["bias"],
+        p["norm2"]["scale"], p["norm2"]["bias"],
+        p["mlp_fc1"]["kernel"], p["mlp_fc1"]["bias"],
+        p["mlp_fc2"]["kernel"], p["mlp_fc2"]["bias"],
+        bias, num_heads, region=region, valid=valid, interpret=interpret,
+    )
+
+    h = window_reverse(out, window, B, Dp, Hp, Wp)
+    if any(shift):
+        h = jnp.roll(h, shift=shift, axis=(1, 2, 3))
+    return h[:, :D, :H, :W]
+
+
+def _ln_apply(x: jnp.ndarray, p: Dict) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = jnp.square(x32 - mu).mean(-1, keepdims=True)
+    out = (x32 - mu) * jax.lax.rsqrt(var + 1e-6) * p["scale"] + p["bias"]
+    return out.astype(x.dtype)
+
+
+def fused_backbone_apply(
+    params: Dict,              # VideoSwinBackbone "params" collection
+    frames: jnp.ndarray,       # [B, T, H, W, 3]
+    cfg: VideoSwinConfig,
+    interpret: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Inference-mode backbone forward over the fused block kernel.
+
+    Mirrors VideoSwinBackbone.__call__ (deterministic) op-for-op; consumes
+    the module's own parameter tree."""
+    c = cfg
+    pd, ph, pw = c.patch_size
+    B, T, H, W, _ = frames.shape
+    kernel = params["patch_embed_kernel"]
+    bias = params["patch_embed_bias"]
+    gh, gw = H // ph, W // pw
+    patches = frames.reshape(B, T, gh, ph, gw, pw, 3)
+    patches = patches.transpose(0, 1, 2, 4, 3, 5, 6)
+    patches = patches.reshape(B, T, gh, gw, ph * pw * 3)
+    x = (
+        jnp.einsum(
+            "bthwp,pc->bthwc", patches,
+            kernel.reshape(ph * pw * 3, c.embed_dim),
+            preferred_element_type=jnp.float32,
+        ).astype(frames.dtype)
+        + bias
+    )
+    if c.patch_norm:
+        x = _ln_apply(x, params["patch_norm"])
+
+    out: Dict[str, jnp.ndarray] = {}
+    for stage, depth in enumerate(c.depths):
+        dim = c.embed_dim * 2**stage
+        for b in range(depth):
+            shift = (
+                (0, 0, 0) if b % 2 == 0 else tuple(w // 2 for w in c.window)
+            )
+            x = fused_block_apply(
+                x, params[f"stage{stage}_block{b}"], c.window, shift,
+                c.num_heads[stage], interpret=interpret,
+            )
+        out[str(stage)] = x
+        if stage < len(c.depths) - 1:
+            p = params[f"downsample{stage}"]
+            B_, D_, H_, W_, C_ = x.shape
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, H_ % 2), (0, W_ % 2), (0, 0)))
+            x = jnp.concatenate(
+                [x[:, :, 0::2, 0::2], x[:, :, 1::2, 0::2],
+                 x[:, :, 0::2, 1::2], x[:, :, 1::2, 1::2]], axis=-1
+            )
+            x = _ln_apply(x, p["norm"])
+            x = (x @ p["reduction"]["kernel"].astype(x.dtype))
+    return out

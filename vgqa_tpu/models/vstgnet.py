@@ -148,9 +148,12 @@ class VSTGNet(nn.Module):
                                         freeze=c.freeze_text)
         self.input_proj = nn.Dense(c.hidden, name="input_proj")
         self.input_proj2 = nn.Dense(c.hidden, name="input_proj2")
+        # the XLA einsum attention beats the generic flash kernel at the
+        # encoder's S=418 per-frame shape (measured on v5e: 2.2 vs 7.1
+        # ms/layer) — only the Swin tower routes through Pallas
         self.ground_encoder = CrossModalEncoder(
             c.enc_layers, c.heads, c.ffn_dim, c.dropout,
-            use_flash=c.use_pallas_attention, name="ground_encoder",
+            use_flash=False, name="ground_encoder",
         )
         self.s_temporal_clas = TemporalSampling(name="s_temporal_clas")
         self.t_temporal_clas = TemporalSampling(name="t_temporal_clas")
@@ -186,9 +189,23 @@ class VSTGNet(nn.Module):
         vis_tokens = self.input_proj(res_feat).reshape(V, T, h_ * w_, c.hidden)
 
         if c.swin:
-            swin_out = self.vid(video.frames, deterministic)[
-                str(len(VIDEO_SWIN_CONFIGS[c.swin].depths) - 1)
-            ]
+            last_stage = str(len(VIDEO_SWIN_CONFIGS[c.swin].depths) - 1)
+            if (
+                c.use_pallas_attention
+                and deterministic
+                and not self.is_initializing()
+                and jax.default_backend() == "tpu"
+            ):
+                # serving path: fused Pallas megakernel per Swin block
+                # (same param tree; the flax module stays the
+                # differentiable/training path)
+                from .video_swin import fused_backbone_apply
+
+                swin_out = fused_backbone_apply(
+                    self.vid.variables["params"], video.frames, self.vid.cfg
+                )[last_stage]
+            else:
+                swin_out = self.vid(video.frames, deterministic)[last_stage]
         else:
             swin_out = self.vid(video.frames)
         if c.freeze_swin:

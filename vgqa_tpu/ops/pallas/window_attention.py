@@ -1,15 +1,26 @@
 """Fused 3D window attention kernel (Pallas) — the Video Swin hot op.
 
-Profiling on v5e showed Video Swin consuming ~80% of the grounding forward
-(BASELINE.md): the einsum path materializes the [nW, H, N, N] float32
-attention logits in HBM (~1 GB per early block at 64f/224px). This kernel
-computes one (window, head) attention tile entirely in VMEM — scores +
-relative-position bias + shift mask + softmax + weighted sum — so nothing
-quadratic ever touches HBM.
+The XLA einsum path materializes per-head [nW, H, N, N] attention logits in
+HBM and re-reads them across softmax passes — ~35 GB of traffic per 64f@420px
+forward, which makes Video Swin ~70% of the grounding step. This kernel
+computes one window's attention for ALL heads inside VMEM, so nothing
+quadratic ever reaches HBM.
 
-Shapes: q/k/v [W, H, N, D], bias [H, N, N] (relative-position bias),
-mask [W, N, N] additive or None (SW-MSA region mask). N and D are padded to
-lane width in the wrapper; padded key columns are masked with -inf.
+Design (v2, measured on v5e):
+* grid = (num_windows,) — one step per window; the head loop is unrolled
+  in-kernel. Heads stay packed in the channel dim ([W, N, C], the natural
+  output layout of the qkv projection), so the wrapper needs **no
+  head transpose and no N/D padding**: N=392 is a sublane multiple and
+  Mosaic masks internal lane padding in reductions.
+* the relative-position bias [H, N, N] uses a constant index map — it is
+  DMA'd once and stays VMEM-resident for the whole grid.
+* the SW-MSA shift mask is never materialized: the kernel receives per-window
+  region ids [W, N] (few KB) and rebuilds the (r_i != r_j) -> -inf mask with
+  one vector compare per window. The caller passes ids for the window's
+  spatial pattern; for batch > 1 the index map wraps modulo nW.
+
+Reference semantics: WindowAttention3D + compute_mask
+(/root/reference/vgqa/core/vision/video_swin_transformer.py:70-155,302-315).
 """
 
 from __future__ import annotations
@@ -25,98 +36,97 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _kernel_with_mask(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *, scale):
-    _window_attention_body(
-        q_ref, k_ref, v_ref, bias_ref[0], mask_ref[0], o_ref, scale
-    )
-
-
-def _kernel_no_mask(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
-    _window_attention_body(q_ref, k_ref, v_ref, bias_ref[0], None, o_ref, scale)
-
-
-def _window_attention_body(q_ref, k_ref, v_ref, bias, mask, o_ref, scale):
-    q = q_ref[0, 0].astype(jnp.float32) * scale          # [N, D]
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )                                                    # [N, N]
-    s = s + bias.astype(jnp.float32)
-    if mask is not None:
-        s = s + mask.astype(jnp.float32)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    o_ref[0, 0] = o.astype(o_ref.dtype)
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+def _body(q_ref, k_ref, v_ref, bias_ref, region_ref, o_ref, *,
+          num_heads: int, scale: float):
+    region_mask = None
+    if region_ref is not None:
+        r = region_ref[0, 0].astype(jnp.float32)         # [N]
+        region_mask = jnp.where(
+            r[:, None] != r[None, :], NEG_INF, 0.0
+        )                                                # [N, N]
+    n, c = q_ref.shape[1], q_ref.shape[2]
+    d = c // num_heads
+    for h in range(num_heads):                           # unrolled
+        sl = slice(h * d, (h + 1) * d)
+        qh = q_ref[0, :, sl].astype(jnp.float32) * scale  # [N, D]
+        kh = k_ref[0, :, sl].astype(jnp.float32)
+        vh = v_ref[0, :, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # [N, N]
+        s = s + bias_ref[h].astype(jnp.float32)
+        if region_mask is not None:
+            s = s + region_mask
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # [N, D]
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
 
 
 def window_attention(
-    q: jnp.ndarray,                      # [W, H, N, D]
+    q: jnp.ndarray,                        # [W, N, C] heads packed in C
     k: jnp.ndarray,
     v: jnp.ndarray,
-    bias: jnp.ndarray,                   # [H, N, N]
-    mask: Optional[jnp.ndarray] = None,  # [W, N, N] additive
+    bias: jnp.ndarray,                     # [H, N, N] rel-pos bias
+    region: Optional[jnp.ndarray] = None,  # [nW, N] int32 region ids (SW-MSA)
+    num_heads: int = 1,
     scale: Optional[float] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    W, H, N, D = q.shape
+    """Multi-head window attention, one fused VMEM pass per window.
+
+    ``region`` may cover fewer windows than ``q`` (the per-batch spatial
+    pattern repeats); it is tiled up to W rows (a few MB of int32 — Pallas
+    index maps must stay affine, so no modulo wrap in the spec)."""
+    W, N, C = q.shape
+    H = bias.shape[0]
+    assert H == num_heads and C % num_heads == 0, (bias.shape, num_heads, C)
     if scale is None:
-        scale = D**-0.5
+        scale = (C // num_heads) ** -0.5
 
-    n_pad = _round_up(N, 128)
-    d_pad = _round_up(D, 128)
-    pad_nd = ((0, 0), (0, 0), (0, n_pad - N), (0, d_pad - D))
-    qp = jnp.pad(q, pad_nd)
-    kp = jnp.pad(k, pad_nd)
-    vp = jnp.pad(v, pad_nd)
-    if n_pad != N:
-        # padded query rows get 0 bias; padded KEY columns get -inf so they
-        # never receive weight
-        bias_p = jnp.pad(bias, ((0, 0), (0, n_pad - N), (0, 0)))
-        fill = jnp.full((H, n_pad, n_pad - N), NEG_INF, bias.dtype)
-        bias_p = jnp.concatenate([bias_p, fill], axis=-1)
-        if mask is not None:
-            mask = jnp.pad(mask, ((0, 0), (0, n_pad - N), (0, n_pad - N)))
-    else:
-        bias_p = bias
+    grid = (W,)
+    qkv_spec = pl.BlockSpec((1, N, C), lambda w: (w, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((H, N, N), lambda w: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((W, N, C), q.dtype)
 
-    grid = (W, H)
-    q_spec = pl.BlockSpec(
-        (1, 1, n_pad, d_pad), lambda w, h: (w, h, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    bias_spec = pl.BlockSpec(
-        (1, n_pad, n_pad), lambda w, h: (h, 0, 0), memory_space=pltpu.VMEM
-    )
-    out_shape = jax.ShapeDtypeStruct((W, H, n_pad, d_pad), q.dtype)
-
-    if mask is not None:
-        mask_spec = pl.BlockSpec(
-            (1, n_pad, n_pad), lambda w, h: (w, 0, 0), memory_space=pltpu.VMEM
-        )
-        out = pl.pallas_call(
-            functools.partial(_kernel_with_mask, scale=scale),
+    if region is not None:
+        nW = region.shape[0]
+        if nW != W:
+            assert W % nW == 0, (W, nW)
+            region = jnp.tile(region, (W // nW, 1))
+        # sublane-dim block sizes must divide 8 or span the array: carry a
+        # singleton sublane axis so the last two dims are (1==full, N==full)
+        region = region[:, None, :]
+        region_spec = pl.BlockSpec((1, 1, N), lambda w: (w, 0, 0),
+                                   memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_body, num_heads=num_heads, scale=scale),
             grid=grid,
-            in_specs=[q_spec, q_spec, q_spec, bias_spec, mask_spec],
-            out_specs=q_spec,
+            in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, region_spec],
+            out_specs=qkv_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(qp, kp, vp, bias_p, mask)
-    else:
-        out = pl.pallas_call(
-            functools.partial(_kernel_no_mask, scale=scale),
-            grid=grid,
-            in_specs=[q_spec, q_spec, q_spec, bias_spec],
-            out_specs=q_spec,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(qp, kp, vp, bias_p)
-    return out[:, :, :N, :D]
+        )(q, k, v, bias, region)
+
+    kernel = functools.partial(
+        lambda q_ref, k_ref, v_ref, bias_ref, o_ref, **kw: _body(
+            q_ref, k_ref, v_ref, bias_ref, None, o_ref, **kw
+        ),
+        num_heads=num_heads,
+        scale=scale,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
+        out_specs=qkv_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(q, k, v, bias)
