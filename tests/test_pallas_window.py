@@ -132,3 +132,28 @@ def test_fused_backbone_matches_module():
         np.testing.assert_allclose(
             np.asarray(out_f[k]), np.asarray(out_m[k]), atol=1e-4, rtol=1e-3
         )
+
+
+def test_window_attention_key_valid_no_bias():
+    """Column (padding) mask + biasless mode: must equal masked softmax
+    attention that excludes invalid keys for every query."""
+    rng = np.random.RandomState(6)
+    W, N, H, D = 4, 16, 2, 8
+    C = H * D
+    q = jnp.asarray(rng.randn(W, N, C).astype(np.float32))
+    k = jnp.asarray(rng.randn(W, N, C).astype(np.float32))
+    v = jnp.asarray(rng.randn(W, N, C).astype(np.float32))
+    key_valid = jnp.asarray((rng.rand(W, N) > 0.3).astype(np.float32))
+    key_valid = key_valid.at[:, 0].set(1.0)  # at least one valid key
+
+    qh = q.reshape(W, N, H, D).transpose(0, 2, 1, 3)
+    kh = k.reshape(W, N, H, D).transpose(0, 2, 1, 3)
+    vh = v.reshape(W, N, H, D).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("whnd,whmd->whnm", qh, kh) * (D**-0.5)
+    logits = jnp.where(key_valid[:, None, None, :] > 0, logits, -1e30)
+    p = jax.nn.softmax(logits, axis=-1)
+    ref = jnp.einsum("whnm,whmd->whnd", p, vh).transpose(0, 2, 1, 3).reshape(W, N, C)
+
+    out = window_attention(q, k, v, key_valid=key_valid, num_heads=H,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)

@@ -151,3 +151,67 @@ def test_sampling_loop_generates(tiny_engine):
     a1 = eng.chat(tiles, "hm?", g, rng=jax.random.PRNGKey(7))
     a2 = eng.chat(tiles, "hm?", g, rng=jax.random.PRNGKey(7))
     assert isinstance(a1, str) and a1 == a2
+
+
+def test_prompt_template_golden_internvl25():
+    """The detokenized prompt must match the published InternVL2.5
+    "internvl2_5" conversation template character-for-character
+    (system message verbatim, sep = "<|im_end|>\\n", <image> expanded to
+    <img>IMG_CONTEXT*n</img>)."""
+    from vgqa_tpu.qa.engine import QAEngine
+
+    class RecordingTok:
+        """Maps each encode() call to one synthetic id and remembers the
+        text, so the id stream reconstructs the exact prompt string."""
+
+        BOS, EOS = 1, 2
+        IM_START, IM_END = 3, 4
+        IMG_CONTEXT, IMG_START, IMG_END = 5, 6, 7
+
+        def __init__(self):
+            self.texts = {}
+            self.next_id = 100
+
+        def encode(self, text):
+            ids = []
+            self.next_id += 1
+            self.texts[self.next_id] = text
+            ids.append(self.next_id)
+            return ids
+
+        def render(self, ids):
+            out = []
+            special = {
+                self.BOS: "<s>", self.EOS: "</s>",
+                self.IM_START: "<|im_start|>", self.IM_END: "<|im_end|>",
+                self.IMG_CONTEXT: "<IMG_CONTEXT>",
+                self.IMG_START: "<img>", self.IMG_END: "</img>",
+            }
+            for i in ids:
+                out.append(special.get(i) or self.texts[i])
+            return "".join(out)
+
+    eng = QAEngine.__new__(QAEngine)  # template only; no weights needed
+    eng.tokenizer = RecordingTok()
+    eng.num_image_token = 2
+    # a supplied (real) tokenizer selects the published template
+    eng.system_prompt = QAEngine.SYSTEM_PROMPT
+
+    ids, img_pos = eng.build_prompt_ids("What happens?", [2, 1])
+    rendered = eng.tokenizer.render(ids)
+
+    sys_msg = QAEngine.SYSTEM_PROMPT
+    expected = (
+        "<s>"
+        "<|im_start|>system\n" + sys_msg + "<|im_end|>\n"
+        "<|im_start|>user\n"
+        "Frame1: <img>" + "<IMG_CONTEXT>" * 4 + "</img>\n"
+        "Frame2: <img>" + "<IMG_CONTEXT>" * 2 + "</img>\n"
+        "What happens?<|im_end|>\n"
+        "<|im_start|>assistant\n"
+    )
+    assert rendered == expected
+    assert all(ids[p] == eng.tokenizer.IMG_CONTEXT for p in img_pos)
+    # published system message is pinned verbatim
+    assert sys_msg.startswith("你是书生·万象")
+    assert "InternVL" in sys_msg

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -104,10 +105,33 @@ class MultiHeadAttention(nn.Module):
         q = nn.Dense(d_model, name="q_proj")(query)
         k = nn.Dense(d_model, name="k_proj")(key)
         v = nn.Dense(d_model, name="v_proj")(value)
-        if self.use_flash and deterministic and not return_probs:
-            from ..ops.pallas.flash_attention import flash_mha
+        if (
+            self.use_flash
+            and deterministic
+            and not return_probs
+            and jax.default_backend() == "tpu"
+        ):
+            # fused per-batch-row attention: heads stay packed in the
+            # channel dim, key padding handled as an in-kernel column mask
+            from ..ops.pallas.window_attention import window_attention
 
-            out = flash_mha(q, k, v, self.num_heads, key_mask=key_mask)
+            lead = q.shape[:-2]
+            n = q.shape[-2]
+            w = 1
+            for s in lead:
+                w *= s
+            kv = None
+            if key_mask is not None:
+                kv = jnp.broadcast_to(
+                    key_mask, (*lead, key_mask.shape[-1])
+                ).reshape(w, -1)
+            out = window_attention(
+                q.reshape(w, n, d_model),
+                k.reshape(w, n, d_model),
+                v.reshape(w, n, d_model),
+                key_valid=kv,
+                num_heads=self.num_heads,
+            ).reshape(*lead, n, d_model)
             return nn.Dense(out_dim, name="out_proj")(out)
         drop: Optional[Callable] = None
         if self.dropout > 0 and not deterministic:

@@ -148,12 +148,9 @@ class VSTGNet(nn.Module):
                                         freeze=c.freeze_text)
         self.input_proj = nn.Dense(c.hidden, name="input_proj")
         self.input_proj2 = nn.Dense(c.hidden, name="input_proj2")
-        # the XLA einsum attention beats the generic flash kernel at the
-        # encoder's S=418 per-frame shape (measured on v5e: 2.2 vs 7.1
-        # ms/layer) — only the Swin tower routes through Pallas
         self.ground_encoder = CrossModalEncoder(
             c.enc_layers, c.heads, c.ffn_dim, c.dropout,
-            use_flash=False, name="ground_encoder",
+            use_flash=c.use_pallas_attention, name="ground_encoder",
         )
         self.s_temporal_clas = TemporalSampling(name="s_temporal_clas")
         self.t_temporal_clas = TemporalSampling(name="t_temporal_clas")

@@ -1,26 +1,28 @@
-"""Fused 3D window attention kernel (Pallas) — the Video Swin hot op.
+"""Fused windowed / per-frame multi-head attention kernel (Pallas).
 
-The XLA einsum path materializes per-head [nW, H, N, N] attention logits in
-HBM and re-reads them across softmax passes — ~35 GB of traffic per 64f@420px
-forward, which makes Video Swin ~70% of the grounding step. This kernel
-computes one window's attention for ALL heads inside VMEM, so nothing
-quadratic ever reaches HBM.
+Computes one window's (or one frame's) attention for ALL heads inside VMEM
+— nothing quadratic reaches HBM. Used standalone by the cross-modal
+encoder's per-frame self-attention (S=418 tokens at 420px — the XLA path
+materializes [V*T, H, S, S] logits, ~1.4 ms/pass just for the max-reduce);
+the Video Swin tower uses the fuller block megakernel in ``swin_block.py``.
 
-Design (v2, measured on v5e):
-* grid = (num_windows,) — one step per window; the head loop is unrolled
-  in-kernel. Heads stay packed in the channel dim ([W, N, C], the natural
-  output layout of the qkv projection), so the wrapper needs **no
-  head transpose and no N/D padding**: N=392 is a sublane multiple and
-  Mosaic masks internal lane padding in reductions.
-* the relative-position bias [H, N, N] uses a constant index map — it is
-  DMA'd once and stays VMEM-resident for the whole grid.
-* the SW-MSA shift mask is never materialized: the kernel receives per-window
-  region ids [W, N] (few KB) and rebuilds the (r_i != r_j) -> -inf mask with
-  one vector compare per window. The caller passes ids for the window's
-  spatial pattern; for batch > 1 the index map wraps modulo nW.
+Layout: q/k/v [W, N, C] with heads packed in C (the natural projection
+output — no head transpose, no N/D padding; Mosaic masks internal lane
+padding in reductions). Optional extras, all VMEM-resident or per-window
+vectors:
+
+* ``bias`` [H, N, N] additive (rel-pos bias), constant index map;
+* ``region`` [W or nW, N] int ids — pairwise (r_i != r_j) -> -inf (SW-MSA);
+* ``key_valid`` [W or nW, N] — column mask: every query may only attend
+  keys with key_valid > 0 (padding mask semantics).
+
+Matmuls run in the input dtype with f32 accumulation; the softmax
+denominator rides the PV matmul as an appended ones-column.
 
 Reference semantics: WindowAttention3D + compute_mask
-(/root/reference/vgqa/core/vision/video_swin_transformer.py:70-155,302-315).
+(/root/reference/vgqa/core/vision/video_swin_transformer.py:70-155,302-315)
+and the masked softmax of multi_head_attention_forward
+(/root/reference/vgqa/core/decoder/attention.py:116-260).
 """
 
 from __future__ import annotations
@@ -36,35 +38,47 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _body(q_ref, k_ref, v_ref, bias_ref, region_ref, o_ref, *,
-          num_heads: int, scale: float):
-    region_mask = None
-    if region_ref is not None:
+def _body(refs, o_ref, *, num_heads: int, scale: float,
+          has_bias: bool, has_region: bool, has_key_valid: bool):
+    it = iter(refs)
+    q_ref, k_ref, v_ref = next(it), next(it), next(it)
+    bias_ref = next(it) if has_bias else None
+    region_ref = next(it) if has_region else None
+    kvalid_ref = next(it) if has_key_valid else None
+
+    mask = None
+    if has_region:
         r = region_ref[0, 0].astype(jnp.float32)         # [N]
-        region_mask = jnp.where(
-            r[:, None] != r[None, :], NEG_INF, 0.0
-        )                                                # [N, N]
-    n, c = q_ref.shape[1], q_ref.shape[2]
-    d = c // num_heads
+        mask = jnp.where(r[:, None] != r[None, :], NEG_INF, 0.0)
+    if has_key_valid:
+        kv = kvalid_ref[0, 0].astype(jnp.float32)        # [N]
+        col = jnp.where(kv[None, :] > 0, 0.0, NEG_INF)
+        mask = col if mask is None else mask + col
+
+    N, C = q_ref.shape[1], q_ref.shape[2]
+    D = C // num_heads
+    ones_col = jnp.ones((N, 1), q_ref.dtype)
     for h in range(num_heads):                           # unrolled
-        sl = slice(h * d, (h + 1) * d)
-        qh = q_ref[0, :, sl].astype(jnp.float32) * scale  # [N, D]
-        kh = k_ref[0, :, sl].astype(jnp.float32)
-        vh = v_ref[0, :, sl].astype(jnp.float32)
+        sl = slice(h * D, (h + 1) * D)
+        qh = (q_ref[0, :, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
+        kh = k_ref[0, :, sl]
+        vh = v_ref[0, :, sl]
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                # [N, N]
-        s = s + bias_ref[h].astype(jnp.float32)
-        if region_mask is not None:
-            s = s + region_mask
+        if has_bias:
+            s = s + bias_ref[h].astype(jnp.float32)
+        if mask is not None:
+            s = s + mask
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p, vh, (((1,), (0,)), ((), ())),
+        p = jnp.exp(s - m).astype(q_ref.dtype)
+        o_aug = jax.lax.dot_general(
+            p, jnp.concatenate([vh, ones_col], axis=-1),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                # [N, D]
+        )                                                # [N, D+1]
+        o = o_aug[:, :D] / o_aug[:, D:D + 1]
         o_ref[0, :, sl] = o.astype(o_ref.dtype)
 
 
@@ -72,61 +86,63 @@ def window_attention(
     q: jnp.ndarray,                        # [W, N, C] heads packed in C
     k: jnp.ndarray,
     v: jnp.ndarray,
-    bias: jnp.ndarray,                     # [H, N, N] rel-pos bias
-    region: Optional[jnp.ndarray] = None,  # [nW, N] int32 region ids (SW-MSA)
+    bias: Optional[jnp.ndarray] = None,    # [H, N, N]
+    region: Optional[jnp.ndarray] = None,  # [nW, N] int region ids (SW-MSA)
+    key_valid: Optional[jnp.ndarray] = None,  # [nW, N] >0 = attendable key
     num_heads: int = 1,
     scale: Optional[float] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Multi-head window attention, one fused VMEM pass per window.
 
-    ``region`` may cover fewer windows than ``q`` (the per-batch spatial
-    pattern repeats); it is tiled up to W rows (a few MB of int32 — Pallas
-    index maps must stay affine, so no modulo wrap in the spec)."""
+    ``region``/``key_valid`` may cover fewer windows than ``q`` when the
+    per-window pattern repeats across a leading batch; they are tiled up to
+    W rows (Pallas index maps must stay affine — no modulo wrap)."""
     W, N, C = q.shape
-    H = bias.shape[0]
-    assert H == num_heads and C % num_heads == 0, (bias.shape, num_heads, C)
+    assert C % num_heads == 0, (C, num_heads)
     if scale is None:
         scale = (C // num_heads) ** -0.5
 
-    grid = (W,)
+    def prep(vec):
+        vec = vec.astype(jnp.float32)
+        if vec.shape[0] != W:
+            assert W % vec.shape[0] == 0, (W, vec.shape)
+            vec = jnp.tile(vec, (W // vec.shape[0], 1))
+        return vec[:, None, :]             # [W, 1, N]
+
     qkv_spec = pl.BlockSpec((1, N, C), lambda w: (w, 0, 0),
                             memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((H, N, N), lambda w: (0, 0, 0),
-                             memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((W, N, C), q.dtype)
-
+    vec_spec = pl.BlockSpec((1, 1, N), lambda w: (w, 0, 0),
+                            memory_space=pltpu.VMEM)
+    args = [q, k, v]
+    specs = [qkv_spec, qkv_spec, qkv_spec]
+    if bias is not None:
+        assert bias.shape[0] == num_heads, (bias.shape, num_heads)
+        args.append(bias)
+        specs.append(pl.BlockSpec(bias.shape, lambda w: (0, 0, 0),
+                                  memory_space=pltpu.VMEM))
     if region is not None:
-        nW = region.shape[0]
-        if nW != W:
-            assert W % nW == 0, (W, nW)
-            region = jnp.tile(region, (W // nW, 1))
-        # sublane-dim block sizes must divide 8 or span the array: carry a
-        # singleton sublane axis so the last two dims are (1==full, N==full)
-        region = region[:, None, :]
-        region_spec = pl.BlockSpec((1, 1, N), lambda w: (w, 0, 0),
-                                   memory_space=pltpu.VMEM)
-        return pl.pallas_call(
-            functools.partial(_body, num_heads=num_heads, scale=scale),
-            grid=grid,
-            in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, region_spec],
-            out_specs=qkv_spec,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(q, k, v, bias, region)
+        args.append(prep(region))
+        specs.append(vec_spec)
+    if key_valid is not None:
+        args.append(prep(key_valid))
+        specs.append(vec_spec)
 
     kernel = functools.partial(
-        lambda q_ref, k_ref, v_ref, bias_ref, o_ref, **kw: _body(
-            q_ref, k_ref, v_ref, bias_ref, None, o_ref, **kw
-        ),
+        lambda *refs, **kw: _body(refs[:-1], refs[-1], **kw),
         num_heads=num_heads,
         scale=scale,
+        has_bias=bias is not None,
+        has_region=region is not None,
+        has_key_valid=key_valid is not None,
     )
     return pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
+        grid=(W,),
+        in_specs=specs,
         out_specs=qkv_spec,
-        out_shape=out_shape,
+        out_shape=jax.ShapeDtypeStruct((W, N, C), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(q, k, v, bias)
+    )(*args)

@@ -82,6 +82,14 @@ class QAEngine:
         self.tokenizer = tokenizer or ByteTokenizer()
         self.max_seq_len = min(max_seq_len, llm_cfg.max_seq_len)
         self.dtype = dtype
+        # real checkpoints need the published template verbatim; the debug
+        # byte-level tokenizer spends ~3 ids per CJK char, so small test
+        # engines get a compact prompt to stay inside their short KV caches
+        self.system_prompt = (
+            self.SYSTEM_PROMPT
+            if tokenizer is not None
+            else "You are a helpful video assistant."
+        )
 
         self.llm = LLM(llm_cfg)
         self.embed = TokenEmbedding(llm_cfg)
@@ -168,8 +176,15 @@ class QAEngine:
         )
         return logits[:, 0], new_cache
 
+    # the exact system message InternVL2.5/InternVideo2.5 ship in their
+    # "internvl2_5" conversation template — real checkpoints are trained
+    # against this wording, so it must match verbatim
     SYSTEM_PROMPT = (
-        "You are a helpful assistant that answers questions about videos."
+        "你是书生·万象，英文名"
+        "是InternVL，是由上海人工智能"
+        "实验室、清华大学及多家"
+        "合作单位联合开发的多模"
+        "态大语言模型。"
     )
 
     def _greedy_loop_impl(self, params, cache, first_logits, start_position,
@@ -240,17 +255,25 @@ class QAEngine:
 
     # -- prompt assembly ----------------------------------------------------
     def build_prompt_ids(self, question: str, num_patches_list: List[int]):
-        """InternVL-style chat template with per-frame IMG_CONTEXT spans:
-        system turn, user turn with "FrameN: <img>...</img>" prefixes
-        (parity with the reference's "FrameN: <image>\\n" prompt,
-        qa.py:221-222, expanded to the template model.chat applies)."""
+        """InternVL2.5 "internvl2_5" chat template with per-frame
+        IMG_CONTEXT spans. Canonical layout (conversation.py of the
+        published InternVL2.5 release; sep = "<|im_end|>\\n"):
+
+            <s><|im_start|>system\\n{SYSTEM_PROMPT}<|im_end|>\\n
+            <|im_start|>user\\nFrame1: <img>{IMG_CONTEXT x n}</img>\\n...
+            {question}<|im_end|>\\n<|im_start|>assistant\\n
+
+        The "FrameN: <image>\\n" prefixes are the reference's prompt
+        (qa.py:221-222); model.chat substitutes each <image> with
+        <img> + IMG_CONTEXT*num_image_token*tiles + </img>."""
         tok = self.tokenizer
         enc = tok.encode
         img_s = getattr(tok, "IMG_START", tok.IM_START)
         img_e = getattr(tok, "IMG_END", tok.IM_END)
 
         ids: List[int] = [tok.BOS]
-        ids += [tok.IM_START] + enc("system\n" + self.SYSTEM_PROMPT) + [tok.IM_END]
+        ids += [tok.IM_START] + enc("system\n" + self.system_prompt)
+        ids += [tok.IM_END] + enc("\n")
         ids += [tok.IM_START] + enc("user\n")
         img_positions: List[int] = []
         for i, n_tiles in enumerate(num_patches_list):
@@ -259,7 +282,7 @@ class QAEngine:
                 img_positions.append(len(ids))
                 ids.append(tok.IMG_CONTEXT)
             ids += [img_e] + enc("\n")
-        ids += enc(question) + [tok.IM_END]
+        ids += enc(question) + [tok.IM_END] + enc("\n")
         ids += [tok.IM_START] + enc("assistant\n")
         return ids, img_positions
 
@@ -286,7 +309,14 @@ class QAEngine:
         assert len(img_positions) == vision_tokens.shape[0], (
             len(img_positions), vision_tokens.shape)
         length = len(ids)
-        Lp = _bucket(length)
+        if length > self.max_seq_len:
+            raise ValueError(
+                f"prompt is {length} tokens but the model's context is "
+                f"{self.max_seq_len}; reduce num_frames or tiles "
+                f"({len(num_patches_list)} frames x {self.num_image_token} "
+                "image tokens per tile)"
+            )
+        Lp = min(_bucket(length), self.max_seq_len)
         max_total = min(self.max_seq_len, Lp + gen.max_new_tokens)
 
         from .llm_functional import embed_tokens
