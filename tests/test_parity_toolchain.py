@@ -69,3 +69,86 @@ def test_converted_checkpoint_through_eval(tmp_path):
     assert any(k.endswith("_viou") for k in results)
     for k, v in results.items():
         assert np.isfinite(v), k
+
+
+def test_converted_forward_deltas_reported(tmp_path, capsys):
+    """End-to-end numerics evidence through converted weights on an
+    identical real video input:
+
+    * orbax save -> restore must be BIT-IDENTICAL (max-abs-delta == 0)
+    * the fused Pallas serving path (interpret mode on CPU — the same
+      kernels run natively on TPU) vs the inline XLA path must agree to
+      float tolerance; max-abs errors are asserted AND reported.
+    """
+    import os as _os
+
+    from tests.test_convert_grounding import _build_reference_state_dict
+    from vgqa_tpu.data.tokenizer import batch_encode, build_tokenizer
+    from vgqa_tpu.data.video_io import read_frames, uniform_sample_indices, video_info
+    from vgqa_tpu.data.synthetic import write_synthetic_video
+    from vgqa_tpu.models import GroundingConfig, VSTGNet
+    from vgqa_tpu.models.convert_grounding import convert_grounding_reference
+    from vgqa_tpu.training.checkpoint import CheckpointManager
+    from vgqa_tpu.utils.containers import TextBatch, VideoBatch
+
+    # real decoded video frames as the shared input
+    video_path = str(tmp_path / "v.mp4")
+    write_synthetic_video(video_path, 24, (64, 64), seed=7)
+    total, fps, w0, h0 = video_info(video_path)
+    ids = uniform_sample_indices(total, 8)
+    frames = read_frames(video_path, ids).astype(np.float32) / 255.0
+
+    sd = _build_reference_state_dict()
+    converted = jax.tree.map(jnp.asarray, convert_grounding_reference(
+        sd, enc_layers=2, dec_layers=2,
+        resnet_depths=(1, 1, 1, 1), swin_depths=(1, 1, 1, 1),
+        roberta_layers=2,
+    ))
+
+    cfg = GroundingConfig.tiny_test()
+    model = VSTGNet(cfg)
+    vb = VideoBatch(
+        frames=jnp.asarray(frames)[None],
+        pixel_mask=jnp.ones((1, 64, 64), bool),
+        time_mask=jnp.ones((1, 8), bool),
+    )
+    tok = build_tokenizer(vocab_size=128)
+    tids, tmask = batch_encode(tok, ["a green square moves right"], 8)
+    tb = TextBatch(jnp.asarray(tids), jnp.asarray(tmask))
+
+    out_direct = model.apply(converted, vb, tb, train=False)
+
+    # 1) checkpoint round trip: bit-identical forward
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save("w", converted)
+    restored = CheckpointManager(str(tmp_path / "ck"), save_to_disk=False).load(
+        converted, str(tmp_path / "ck" / "w")
+    )
+    out_restored = model.apply(restored, vb, tb, train=False)
+    d_boxes = float(jnp.max(jnp.abs(out_direct["pred_boxes"]
+                                    - out_restored["pred_boxes"])))
+    d_sted = float(jnp.max(jnp.abs(out_direct["pred_sted"]
+                                   - out_restored["pred_sted"])))
+    print(f"\n[parity] save/restore max-abs-delta: boxes={d_boxes:.3e} "
+          f"sted={d_sted:.3e}")
+    assert d_boxes == 0.0 and d_sted == 0.0
+
+    # 2) fused serving path (same kernels as TPU, interpret on CPU) vs
+    #    inline XLA path through the same converted weights
+    import dataclasses
+
+    cfg_f = dataclasses.replace(cfg, use_pallas_attention=True)
+    model_f = VSTGNet(cfg_f)
+    _os.environ["VGQA_PALLAS_INTERPRET"] = "1"
+    try:
+        out_fused = model_f.apply(converted, vb, tb, train=False)
+    finally:
+        _os.environ.pop("VGQA_PALLAS_INTERPRET")
+    f_boxes = float(jnp.max(jnp.abs(out_direct["pred_boxes"]
+                                    - out_fused["pred_boxes"])))
+    f_sted = float(jnp.max(jnp.abs(out_direct["pred_sted"]
+                                   - out_fused["pred_sted"])))
+    print(f"[parity] fused-vs-inline max-abs-delta: boxes={f_boxes:.3e} "
+          f"sted={f_sted:.3e}")
+    assert f_boxes < 5e-4, f_boxes   # boxes are sigmoided (0..1 scale)
+    assert f_sted < 5e-2, f_sted     # logits scale

@@ -27,8 +27,22 @@ from vgqa_tpu.utils.containers import TextBatch, VideoBatch
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=0, help="override T")
+    ap.add_argument("--res", type=int, default=0, help="override resolution")
+    ap.add_argument("--remat", default="", help="remat policy (e.g. block)")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
     cfg = build_default_cfg()
     t, res, l = cfg.INPUT.TRAIN_SAMPLE_NUM, cfg.INPUT.RESOLUTION, cfg.INPUT.MAX_QUERY_LEN
+    if args.frames:
+        t = args.frames
+    if args.res:
+        res = args.res
+    print(f"config: T={t} res={res} remat={args.remat!r}", flush=True)
     model = VSTGNet(GroundingConfig.from_cfg(cfg))
     rng = np.random.RandomState(0)
     video = VideoBatch(
@@ -41,12 +55,12 @@ def main():
         mask=jnp.ones((1, l), bool),
     )
     act = np.zeros((1, t), np.float32)
-    act[:, 10:40] = 1
+    act[:, t // 4 : max(t // 2, t // 4 + 2)] = 1
     targets = {
         "boxes": jnp.asarray(np.tile([0.5, 0.5, 0.2, 0.3], (1, t, 1)).astype(np.float32)),
         "actioness": jnp.asarray(act),
         "time_mask": jnp.ones((1, t), bool),
-        "sted": jnp.asarray([[10, 39]], jnp.int32),
+        "sted": jnp.asarray([[t // 4, max(t // 2, t // 4 + 2) - 1]], jnp.int32),
         "attr_labels": jnp.zeros((1, cfg.DATASET.APP_NUM)),
         "verb_labels": jnp.zeros((1, cfg.DATASET.MOT_NUM)),
     }
@@ -59,7 +73,7 @@ def main():
     loss_fn = VideoSTGLoss(sigma=cfg.SOLVER.SIGMA, eos_coef=cfg.SOLVER.EOS_COEF)
     step_fn = jax.jit(
         make_train_step(model, loss_fn, build_weight_dict(cfg), tx,
-                        cfg.MODEL.EMA_DECAY),
+                        cfg.MODEL.EMA_DECAY, remat=args.remat or cfg.TPU.REMAT),
         donate_argnums=(0,),
     )
 
@@ -69,7 +83,7 @@ def main():
     loss0 = float(metrics["loss"])  # host fetch = real completion
     print(f"compile+first step: {time.time() - t0:.0f}s (loss {loss0:.3f})")
 
-    n = 10
+    n = args.iters
     t0 = time.time()
     for _ in range(n):
         state, metrics = step_fn(state, video, text, targets, key)

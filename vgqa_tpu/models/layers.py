@@ -105,11 +105,14 @@ class MultiHeadAttention(nn.Module):
         q = nn.Dense(d_model, name="q_proj")(query)
         k = nn.Dense(d_model, name="k_proj")(key)
         v = nn.Dense(d_model, name="v_proj")(value)
+        import os as _os
+
+        interpret = _os.environ.get("VGQA_PALLAS_INTERPRET") == "1"
         if (
             self.use_flash
             and deterministic
             and not return_probs
-            and jax.default_backend() == "tpu"
+            and (jax.default_backend() == "tpu" or interpret)
         ):
             # fused per-batch-row attention: heads stay packed in the
             # channel dim, key padding handled as an in-kernel column mask
@@ -131,6 +134,7 @@ class MultiHeadAttention(nn.Module):
                 v.reshape(w, n, d_model),
                 key_valid=kv,
                 num_heads=self.num_heads,
+                interpret=interpret,
             ).reshape(*lead, n, d_model)
             return nn.Dense(out_dim, name="out_proj")(out)
         drop: Optional[Callable] = None

@@ -187,19 +187,25 @@ class VSTGNet(nn.Module):
 
         if c.swin:
             last_stage = str(len(VIDEO_SWIN_CONFIGS[c.swin].depths) - 1)
+            import os as _os
+
+            interpret = _os.environ.get("VGQA_PALLAS_INTERPRET") == "1"
             if (
                 c.use_pallas_attention
                 and deterministic
                 and not self.is_initializing()
-                and jax.default_backend() == "tpu"
+                and (jax.default_backend() == "tpu" or interpret)
             ):
                 # serving path: fused Pallas megakernel per Swin block
                 # (same param tree; the flax module stays the
-                # differentiable/training path)
+                # differentiable/training path). VGQA_PALLAS_INTERPRET=1
+                # runs the same kernels in interpret mode for CPU parity
+                # testing of the exact serving path.
                 from .video_swin import fused_backbone_apply
 
                 swin_out = fused_backbone_apply(
-                    self.vid.variables["params"], video.frames, self.vid.cfg
+                    self.vid.variables["params"], video.frames, self.vid.cfg,
+                    interpret=interpret,
                 )[last_stage]
             else:
                 swin_out = self.vid(video.frames, deterministic)[last_stage]
