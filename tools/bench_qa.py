@@ -1,0 +1,108 @@
+"""QA decode throughput benchmark: bf16 vs int8 weight-only quantization.
+
+Measures vision encode + prefill + on-device greedy decode (the lax.scan
+loop — per-token host round trips cost ~50 ms through remote tunnels) at a
+configurable LLM scale, then prints a tok/s table. Not part of the driver
+contract (bench.py is the headline); feeds the BASELINE.md table.
+
+Usage:
+  python tools/bench_qa.py                 # 1B-class LLM, 8 frames
+  python tools/bench_qa.py --layers 32 --hidden 2048   # larger
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from vgqa_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+
+def run(engine, tiles, n_frames, max_new, label):
+    import numpy as np
+
+    from vgqa_tpu.qa import GenerationConfig
+
+    gen = GenerationConfig(max_new_tokens=max_new, do_sample=False)
+    patches = [1] * n_frames
+    t0 = time.time()
+    engine.chat(np.asarray(tiles), "what happens in the video?", gen,
+                num_patches_list=patches)
+    compile_s = time.time() - t0
+
+    iters = 3
+    t0 = time.time()
+    for i in range(iters):
+        out = engine.chat(
+            np.asarray(tiles), f"what happens in the video {i}?", gen,
+            num_patches_list=patches,
+        )
+    dt = (time.time() - t0) / iters
+    toks = max_new / dt
+    print(f"{label}: {toks:.1f} tok/s  ({dt:.2f} s e2e for {max_new} tokens; "
+          f"compile {compile_s:.0f}s; sample answer len {len(out)})",
+          flush=True)
+    return toks
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=16)
+    ap.add_argument("--hidden", type=int, default=2048)
+    ap.add_argument("--heads", type=int, default=16)
+    ap.add_argument("--kv-heads", type=int, default=8)
+    ap.add_argument("--inter", type=int, default=5504)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--max-new", type=int, default=32)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vgqa_tpu.qa import LLMConfig, QAEngine, ViTConfig
+    from vgqa_tpu.qa.quant import quantize_llm_params
+
+    llm_cfg = LLMConfig(
+        vocab_size=92553, hidden_size=args.hidden, num_layers=args.layers,
+        num_heads=args.heads, num_kv_heads=args.kv_heads,
+        intermediate_size=args.inter, max_seq_len=8192,
+    )
+    vit_cfg = ViTConfig(
+        image_size=448, patch_size=14, hidden_size=1024, num_layers=12,
+        num_heads=16, intermediate_size=4096, llm_hidden_size=args.hidden,
+    )
+    n_params = (
+        args.layers * (
+            args.hidden * (args.heads + 2 * args.kv_heads)
+            * (args.hidden // args.heads)
+            + args.hidden * args.hidden
+            + 3 * args.hidden * args.inter
+        )
+        + 2 * 92553 * args.hidden
+    )
+    print(f"LLM: {args.layers}L x {args.hidden}d (~{n_params/1e9:.2f}B params), "
+          f"{args.frames} frames, bf16 base", flush=True)
+
+    engine = QAEngine.init_random(llm_cfg, vit_cfg, dtype=jnp.bfloat16)
+    engine.params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        engine.params,
+    )
+    tiles = np.random.RandomState(0).rand(args.frames, 448, 448, 3).astype(
+        np.float32
+    )
+
+    bf16 = run(engine, tiles, args.frames, args.max_new, "bf16 ")
+
+    engine.params["llm"] = quantize_llm_params(engine.params["llm"])
+    int8 = run(engine, tiles, args.frames, args.max_new, "int8 ")
+    print(f"int8/bf16 speedup: {int8 / bf16:.2f}x", flush=True)
+
+
+if __name__ == "__main__":
+    main()
