@@ -169,3 +169,63 @@ def test_ema_update_math():
     e = {"w": jnp.zeros((2,))}
     out = update_ema(p, e, 0.9)
     np.testing.assert_allclose(np.asarray(out["w"]), 0.1, atol=1e-6)
+
+
+def test_remat_train_step_matches_no_remat():
+    """Per-block remat must change memory, not math: one train step with
+    TPU.REMAT on/off yields identical losses and parameters."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vgqa_tpu.config import build_default_cfg
+    from vgqa_tpu.models import (
+        GroundingConfig, VSTGNet, VideoSTGLoss, build_weight_dict,
+    )
+    from vgqa_tpu.training import create_train_state, make_optimizer, make_train_step
+    from vgqa_tpu.utils.containers import TextBatch, VideoBatch
+
+    cfg = build_default_cfg()
+    cfg.DATASET.APP_NUM, cfg.DATASET.MOT_NUM = 5, 7
+    rng = np.random.RandomState(0)
+    t = 4
+    video = VideoBatch(
+        frames=jnp.asarray(rng.randn(1, t, 64, 64, 3).astype(np.float32) * 0.1),
+        pixel_mask=jnp.ones((1, 64, 64), bool),
+        time_mask=jnp.ones((1, t), bool),
+    )
+    text = TextBatch(jnp.asarray(rng.randint(4, 100, (1, 8)).astype(np.int32)),
+                     jnp.ones((1, 8), bool))
+    act = np.zeros((1, t), np.float32)
+    act[:, 1:3] = 1
+    targets = {
+        "boxes": jnp.asarray(np.tile([0.5, 0.5, 0.2, 0.3], (1, t, 1)).astype(np.float32)),
+        "actioness": jnp.asarray(act),
+        "time_mask": jnp.ones((1, t), bool),
+        "sted": jnp.asarray([[1, 2]], jnp.int32),
+        "attr_labels": jnp.zeros((1, 5)),
+        "verb_labels": jnp.zeros((1, 7)),
+    }
+
+    import dataclasses
+
+    losses = {}
+    leaves = {}
+    for remat in (False, True):
+        gcfg = dataclasses.replace(GroundingConfig.tiny_test(), remat=remat)
+        model = VSTGNet(gcfg)
+        params = model.init(jax.random.PRNGKey(0), video, text, train=False)
+        tx, _ = make_optimizer(cfg, params, max_iter=10)
+        state = create_train_state(params, tx, use_ema=False)
+        step = jax.jit(make_train_step(
+            model, VideoSTGLoss(use_aux_loss=True), build_weight_dict(cfg),
+            tx, None))
+        new_state, metrics = step(state, video, text, targets,
+                                  jax.random.PRNGKey(0))
+        losses[remat] = float(metrics["loss"])
+        leaves[remat] = np.asarray(
+            jax.tree.leaves(new_state.params)[0]
+        )
+
+    np.testing.assert_allclose(losses[False], losses[True], rtol=1e-5)
+    np.testing.assert_allclose(leaves[False], leaves[True], atol=1e-6)

@@ -32,7 +32,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=0, help="override T")
     ap.add_argument("--res", type=int, default=0, help="override resolution")
-    ap.add_argument("--remat", default="", help="remat policy (e.g. block)")
+    ap.add_argument("--remat", action="store_true",
+                    help="per-block gradient checkpointing")
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
 
@@ -42,7 +43,9 @@ def main():
         t = args.frames
     if args.res:
         res = args.res
-    print(f"config: T={t} res={res} remat={args.remat!r}", flush=True)
+    if args.remat:
+        cfg.TPU.REMAT = True
+    print(f"config: T={t} res={res} remat={args.remat}", flush=True)
     model = VSTGNet(GroundingConfig.from_cfg(cfg))
     rng = np.random.RandomState(0)
     video = VideoBatch(
@@ -73,7 +76,7 @@ def main():
     loss_fn = VideoSTGLoss(sigma=cfg.SOLVER.SIGMA, eos_coef=cfg.SOLVER.EOS_COEF)
     step_fn = jax.jit(
         make_train_step(model, loss_fn, build_weight_dict(cfg), tx,
-                        cfg.MODEL.EMA_DECAY, remat=args.remat or cfg.TPU.REMAT),
+                        cfg.MODEL.EMA_DECAY),
         donate_argnums=(0,),
     )
 

@@ -62,6 +62,7 @@ class CrossModalEncoder(nn.Module):
     ffn_dim: int = 2048
     dropout: float = 0.1
     use_flash: bool = False
+    remat: bool = False  # per-layer gradient checkpointing
 
     @nn.compact
     def __call__(
@@ -92,8 +93,12 @@ class CrossModalEncoder(nn.Module):
         mask = jnp.broadcast_to(mask[:, None], (V, T, hw + L + hw))
 
         h = src
+        layer_cls = (
+            nn.remat(EncoderLayer, static_argnums=(4,))
+            if self.remat else EncoderLayer
+        )
         for i in range(self.num_layers):
-            h = EncoderLayer(
+            h = layer_cls(
                 self.num_heads, self.ffn_dim, self.dropout, self.use_flash,
                 name=f"layer_{i}",
             )(h, pos, mask, deterministic)

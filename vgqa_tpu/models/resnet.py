@@ -102,6 +102,7 @@ class ResNetBackbone(nn.Module):
     dilation: bool = False
     width: int = 64
     norm: str = "frozen"  # "frozen" (folded BN) | "group" (GroupNorm32)
+    remat: bool = False   # per-bottleneck gradient checkpointing
 
     @property
     def num_channels(self) -> int:
@@ -115,6 +116,10 @@ class ResNetBackbone(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
+        # per-block remat: backward keeps only each bottleneck's input and
+        # recomputes its interior — the activation footprint that OOMs HBM
+        # on long-clip/high-res training steps
+        block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
         for stage, blocks in enumerate(self.depths):
             planes = self.width * (2**stage)
             first_stride = 1 if stage == 0 else 2
@@ -122,7 +127,7 @@ class ResNetBackbone(nn.Module):
             if stage == 3 and self.dilation:
                 first_stride, dil = 1, 2
             for b in range(blocks):
-                x = Bottleneck(
+                x = block_cls(
                     planes,
                     stride=first_stride if b == 0 else 1,
                     dilation=dil,
@@ -133,7 +138,8 @@ class ResNetBackbone(nn.Module):
         return x
 
 
-def build_resnet(name: str, dilation: bool = False) -> ResNetBackbone:
+def build_resnet(name: str, dilation: bool = False,
+                 remat: bool = False) -> ResNetBackbone:
     """Backbone zoo; "-gn" suffix selects trainable GroupNorm32 normalization
     (reference GroupNormBackbone, backbone.py:124-141)."""
     norm = "frozen"
@@ -148,7 +154,7 @@ def build_resnet(name: str, dilation: bool = False) -> ResNetBackbone:
     }[name]
     width = 64 if name != "resnet_test" else 8
     return ResNetBackbone(depths=depths, dilation=dilation, width=width,
-                          norm=norm)
+                          norm=norm, remat=remat)
 
 
 def downsample_mask(pixel_mask: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:

@@ -61,6 +61,7 @@ class GroundingConfig:
     text: RobertaConfig = field(default_factory=RobertaConfig)
     use_aux_loss: bool = True
     use_pallas_attention: bool = False
+    remat: bool = False              # per-block gradient checkpointing
 
     @classmethod
     def from_cfg(cls, cfg) -> "GroundingConfig":
@@ -89,6 +90,7 @@ class GroundingConfig:
             text=text,
             use_aux_loss=cfg.SOLVER.USE_AUX_LOSS,
             use_pallas_attention=cfg.TPU.USE_PALLAS_ATTENTION,
+            remat=cfg.TPU.REMAT,
         )
 
     @classmethod
@@ -134,7 +136,8 @@ class VSTGNet(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.vis_encoder = build_resnet(c.resnet, c.resnet_dilation)
+        self.vis_encoder = build_resnet(c.resnet, c.resnet_dilation,
+                                        remat=c.remat)
         if c.swin:
             import dataclasses
 
@@ -150,7 +153,8 @@ class VSTGNet(nn.Module):
         self.input_proj2 = nn.Dense(c.hidden, name="input_proj2")
         self.ground_encoder = CrossModalEncoder(
             c.enc_layers, c.heads, c.ffn_dim, c.dropout,
-            use_flash=c.use_pallas_attention, name="ground_encoder",
+            use_flash=c.use_pallas_attention, remat=c.remat,
+            name="ground_encoder",
         )
         self.s_temporal_clas = TemporalSampling(name="s_temporal_clas")
         self.t_temporal_clas = TemporalSampling(name="t_temporal_clas")
