@@ -437,26 +437,45 @@ def fused_block_apply(
     shift: Tuple3,
     num_heads: int,
     interpret: bool = False,
+    true_dims: Optional[Tuple3] = None,
 ) -> jnp.ndarray:
     """One Swin block via the fused kernel; window layout handled here
-    (pad/roll/partition are XLA copies that fuse into one pass each way)."""
+    (pad/roll/partition are XLA copies that fuse into one pass each way).
+
+    ``true_dims``: when given, ``x`` is a stage-persistent canvas already
+    padded to window multiples and the true extent is (D, H, W)=true_dims;
+    the block skips the per-block pad and returns the PADDED canvas (the
+    caller slices once at stage end). Pad tokens carry stale residuals
+    between blocks, but the kernel re-zeroes them after LN1 every block
+    (the ``valid`` column), which reproduces the XLA path's pad-after-norm
+    zeros exactly — so they never influence real tokens."""
     from ..ops.pallas.swin_block import swin_block_fused
 
     B, D, H, W, C = x.shape
-    window, shift = _adjust_window((D, H, W), full_window, shift)
+    if true_dims is not None:
+        Dt, Ht, Wt = true_dims
+        window, shift = _adjust_window((Dt, Ht, Wt), full_window, shift)
+        Dp, Hp, Wp = D, H, W
+        assert Dp % window[0] == 0 and Hp % window[1] == 0 \
+            and Wp % window[2] == 0, (x.shape, window)
+        h = x
+    else:
+        Dt, Ht, Wt = D, H, W
+        window, shift = _adjust_window((D, H, W), full_window, shift)
+        pad_d = (-D) % window[0]
+        pad_h = (-H) % window[1]
+        pad_w = (-W) % window[2]
+        Dp, Hp, Wp = D + pad_d, H + pad_h, W + pad_w
+        h = jnp.pad(x, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0)))
     N = window[0] * window[1] * window[2]
 
-    pad_d, pad_h, pad_w = (-D) % window[0], (-H) % window[1], (-W) % window[2]
-    Dp, Hp, Wp = D + pad_d, H + pad_h, W + pad_w
-
-    h = jnp.pad(x, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0)))
     if any(shift):
         h = jnp.roll(h, shift=(-shift[0], -shift[1], -shift[2]),
                      axis=(1, 2, 3))
         region = _region_partition((Dp, Hp, Wp), window, shift)
     else:
         region = None
-    valid = _valid_partition((D, H, W), (Dp, Hp, Wp), window, shift)
+    valid = _valid_partition((Dt, Ht, Wt), (Dp, Hp, Wp), window, shift)
     windows = window_partition(h, window)    # [B*nW, N, C]
 
     index = _relative_position_index(full_window)[:N, :N].reshape(-1)
@@ -479,6 +498,8 @@ def fused_block_apply(
     h = window_reverse(out, window, B, Dp, Hp, Wp)
     if any(shift):
         h = jnp.roll(h, shift=shift, axis=(1, 2, 3))
+    if true_dims is not None:
+        return h                          # caller slices at stage end
     return h[:, :D, :H, :W]
 
 
@@ -523,6 +544,15 @@ def fused_backbone_apply(
     out: Dict[str, jnp.ndarray] = {}
     for stage, depth in enumerate(c.depths):
         dim = c.embed_dim * 2**stage
+        # pad ONCE per stage to window multiples and keep the canvas padded
+        # across the stage's blocks (each block re-zeroes pad tokens after
+        # LN1); one slice at stage end replaces a pad+slice per block
+        B_, D_, H_, W_, _ = x.shape
+        window, _ = _adjust_window((D_, H_, W_), c.window, (0, 0, 0))
+        pads = ((-D_) % window[0], (-H_) % window[1], (-W_) % window[2])
+        if any(pads):
+            x = jnp.pad(x, ((0, 0), (0, pads[0]), (0, pads[1]),
+                            (0, pads[2]), (0, 0)))
         for b in range(depth):
             shift = (
                 (0, 0, 0) if b % 2 == 0 else tuple(w // 2 for w in c.window)
@@ -530,7 +560,9 @@ def fused_backbone_apply(
             x = fused_block_apply(
                 x, params[f"stage{stage}_block{b}"], c.window, shift,
                 c.num_heads[stage], interpret=interpret,
+                true_dims=(D_, H_, W_),
             )
+        x = x[:, :D_, :H_, :W_]
         out[str(stage)] = x
         if stage < len(c.depths) - 1:
             p = params[f"downsample{stage}"]

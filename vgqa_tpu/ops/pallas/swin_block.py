@@ -1,19 +1,37 @@
 """Fused Video-Swin block kernel (Pallas): LN -> qkv -> windowed MHA
 (+rel-pos bias, +SW-MSA region mask) -> proj -> residual -> LN -> MLP ->
-residual, one VMEM pass per window.
+residual, one VMEM pass per window group.
 
 Why a megakernel: on v5e the XLA path for one stage-0 block at 64f@420px
 moves ~10 GB of HBM traffic (per-head [N, N] logits round trips plus a
 full-tensor pass for every LN/proj/MLP/layout op) and measures ~31 ms; this
-kernel reads x once and writes the block output once (~0.5 GB) and measures
-~12.5 ms. All weights, the bias table, and per-window region/validity
-vectors stay VMEM-resident across the grid.
+kernel reads x once and writes the block output once and measures ~7 ms.
+All weights, the bias table, and per-window region/validity vectors stay
+VMEM-resident across the grid.
+
+v5e-tuned structure (each measured on the 1800-window 420px stage-0 shape):
+
+* 8 windows per grid step — the per-token stages (LN, qkv, proj, MLP) batch
+  across windows into [8*392, C] MXU matmuls (14.7 -> 11.0 ms vs 4/group).
+* LayerNorm statistics ride the MXU: sum(x) and sum(x*x) are matmuls
+  against a ones-column, replacing VPU cross-lane reductions (the C axis
+  lives on lanes, where tree-reduction is the slowest VPU pattern).
+* GELU uses a degree-9 odd minimax polynomial for erf (max abs err 8.7e-5,
+  far below bf16 resolution) — FMA + clamp only. Pallas TPU has no erf
+  primitive, and the previous Abramowitz-Stegun 7.1.26 form needs a divide
+  and an exp per element, both many-cycle VPU ops (~1 ms/block saved).
+* Softmax skips the max-subtraction: logits are f32 and bounded by
+  |q||k|+bias (|s| < ~50 << 88, the f32 exp overflow edge), so exp is safe
+  and the [N, N] row-max reduce disappears. The softmax denominator rides
+  the PV matmul as an appended ones-column.
+* The attention scale is folded into the q-columns of the qkv weight at
+  call time (free — weights are loaded once), not applied per-tile.
+* Residuals are kept in the compute dtype (bf16 in serving), exactly like
+  the XLA path (flax Dense outputs + residual adds are bf16 there too).
 
 Numerics: matmuls run in bf16 with f32 accumulation (same as the XLA path);
-LN/softmax/GELU in f32. GELU uses the Abramowitz-Stegun 7.1.26 rational erf
-(max abs err 1.5e-7, below bf16 resolution) because Pallas TPU has no erf
-primitive. Measured whole-block max deviation vs the XLA path is at bf16
-rounding level (~7e-3 relative).
+LN/softmax/GELU in f32. Measured whole-block max deviation vs the XLA path
+is at bf16 rounding level (~7e-3 relative).
 
 Reference semantics: SwinTransformerBlock3D forward
 (/root/reference/vgqa/core/vision/video_swin_transformer.py:157-259) with
@@ -34,31 +52,31 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 LN_EPS = 1e-6  # flax nn.LayerNorm default
 
-
-def _erf(x):
-    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
-    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
-    s = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
-    return s * (1.0 - poly * jnp.exp(-ax * ax))
-
-
-def _gelu_exact(x):
-    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+# degree-9 odd minimax fit of erf(x) = x * P(x^2) on [0, 3.2] (clamped
+# outside; erf(3.2) = 1 - 6e-6, below bf16 resolution). Max abs err 8.7e-5.
+_ERF_C = (
+    1.1283531188964844, -0.3758080303668976, 0.11197655647993088,
+    -0.025869516655802727, 0.004597293678671122, -0.0006126281805336475,
+    5.843838880537078e-05, -3.720681661434355e-06, 1.4032139006303623e-07,
+    -2.3560169370995254e-09,
+)
 
 
-def _ln(x32, scale, bias):
-    mu = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
-    return (x32 - mu) * jax.lax.rsqrt(var + LN_EPS) * scale + bias
+def _gelu_poly(x):
+    """Exact-GELU via the odd erf polynomial: FMA/clamp only — no divide,
+    exp, or sign (unsupported or many-cycle ops on the TPU VPU)."""
+    e = jnp.clip(x * 0.7071067811865476, -3.2, 3.2)
+    e2 = e * e
+    p = jnp.full_like(x, _ERF_C[-1])
+    for c in _ERF_C[-2::-1]:
+        p = p * e2 + c
+    return 0.5 * x * (1.0 + e * p)
 
 
 def _body(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
           g2_ref, b2_ref, w1_ref, bf1_ref, w2_ref, bf2_ref,
-          bias_ref, region_ref, valid_ref, o_ref, *,
-          num_heads: int, scale: float, group: int):
+          bias_ref, region_ref, valid_ref, ones_ref, o_ref, *,
+          num_heads: int, group: int):
     """``group`` windows per grid step: the per-token stages (LN, qkv,
     proj, MLP) batch across windows into MXU-sized matmuls; only the
     attention itself runs per window."""
@@ -68,20 +86,33 @@ def _body(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
     D = C // num_heads
     # merge windows on the sublane axis via concat (Mosaic rejects the
     # equivalent reshape for some channel widths)
-    x = jnp.concatenate([x_ref[g] for g in range(G)], axis=0).astype(jnp.float32)
+    x = jnp.concatenate([x_ref[g] for g in range(G)], axis=0)
     valid = jnp.concatenate([valid_ref[g] for g in range(G)],
                             axis=0).astype(jnp.float32)       # [G*N, 1]
+    ones = ones_ref[...]                                      # [C, 1] f32
+
+    def ln(xb, scale_ref, bias_vec_ref):
+        """LN with MXU-resident statistics (ones-column matmuls)."""
+        x32 = xb.astype(jnp.float32)
+        s1 = jax.lax.dot_general(x32, ones, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        s2 = jax.lax.dot_general(x32 * x32, ones, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        mu = s1 * (1.0 / C)
+        var = s2 * (1.0 / C) - mu * mu
+        r = jax.lax.rsqrt(var + LN_EPS)
+        return ((x32 - mu) * r * scale_ref.astype(jnp.float32)
+                + bias_vec_ref.astype(jnp.float32))
 
     # LN1; zero padded tokens so they act as the XLA path's pad-after-norm
-    # zero vectors (keys with zero value, no effect on valid tokens)
-    h = _ln(x, g1_ref[0].astype(jnp.float32), b1_ref[0].astype(jnp.float32))
-    h = (h * valid).astype(x_ref.dtype)
+    # zero vectors (keys/values reduce to the qkv bias, no effect on valid
+    # tokens beyond reference semantics)
+    h = (ln(x, g1_ref[0], b1_ref[0]) * valid).astype(x_ref.dtype)
 
     qkv = jax.lax.dot_general(
         h, wqkv_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + bqkv_ref[0].astype(jnp.float32)                  # [G*N, 3C]
-    qkv = qkv.astype(x_ref.dtype)
+    ).astype(x_ref.dtype) + bqkv_ref[0].astype(x_ref.dtype)   # [G*N, 3C]
 
     ones_col = jnp.ones((N, 1), x_ref.dtype)
     wouts = []
@@ -91,47 +122,43 @@ def _body(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
         region_mask = jnp.where(r[:, None] != r[None, :], NEG_INF, 0.0)
         outs = []
         for hd in range(num_heads):
-            # scale folded into q ([N, D] — cheap) so the [N, N] logits
-            # take one VPU pass for bias+mask; the softmax denominator
-            # rides the PV matmul as an appended ones-column instead of a
-            # VPU row-reduce
-            qh = (row[:, hd * D:(hd + 1) * D].astype(jnp.float32)
-                  * scale).astype(x_ref.dtype)
+            # scale pre-folded into the q-columns of wqkv (swin_block_fused)
+            qh = row[:, hd * D:(hd + 1) * D]
             kh = row[:, C + hd * D:C + (hd + 1) * D]
             vh = row[:, 2 * C + hd * D:2 * C + (hd + 1) * D]
             s = jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + (bias_ref[hd].astype(jnp.float32) + region_mask)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m).astype(x_ref.dtype)       # [N, N] bf16
+            # no max-subtraction: s is bounded well inside f32 exp range,
+            # and exp(NEG_INF) underflows to exactly 0 for masked pairs
+            p = jnp.exp(s).astype(x_ref.dtype)               # [N, N] bf16
             o_aug = jax.lax.dot_general(
                 p, jnp.concatenate([vh, ones_col], axis=-1),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                            # [N, D+1]
+            )                                                # [N, D+1]
             o = o_aug[:, :D] / o_aug[:, D:D + 1]
             outs.append(o.astype(x_ref.dtype))
         wouts.append(jnp.concatenate(outs, axis=-1))
-    attn = jnp.concatenate(wouts, axis=0)                # [G*N, C]
+    attn = jnp.concatenate(wouts, axis=0)                    # [G*N, C]
 
     proj = jax.lax.dot_general(
         attn, wp_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + bp_ref[0].astype(jnp.float32)
-    x1 = x + proj
+    ).astype(x_ref.dtype) + bp_ref[0].astype(x_ref.dtype)
+    x1 = x + proj                     # compute-dtype residual (as XLA path)
 
-    h2 = _ln(x1, g2_ref[0].astype(jnp.float32),
-             b2_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
+    h2 = ln(x1, g2_ref[0], b2_ref[0]).astype(x_ref.dtype)
     f = jax.lax.dot_general(
         h2, w1_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bf1_ref[0].astype(jnp.float32)
-    f = _gelu_exact(f).astype(x_ref.dtype)
+    f = _gelu_poly(f).astype(x_ref.dtype)
     f = jax.lax.dot_general(
         f, w2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + bf2_ref[0].astype(jnp.float32)
+    ).astype(x_ref.dtype) + bf2_ref[0].astype(x_ref.dtype)
     out = (x1 + f).astype(o_ref.dtype)
     for g in range(G):
         o_ref[g] = out[g * N:(g + 1) * N]
@@ -155,9 +182,22 @@ def swin_block_fused(
     D = C // num_heads
     scale = D ** -0.5
 
-    # windows per grid step: batches the per-token matmuls; 4 measured best
-    # on v5e for the early stages (VMEM-bounded above)
-    group = 4 if W % 4 == 0 else (2 if W % 2 == 0 else 1)
+    # fold the attention scale into the q-columns (weights are read once
+    # per grid, so this costs nothing per tile)
+    wqkv = jnp.concatenate(
+        [(wqkv[:, :C].astype(jnp.float32) * scale).astype(wqkv.dtype),
+         wqkv[:, C:]], axis=1)
+    bqkv = jnp.concatenate(
+        [(bqkv[:C].astype(jnp.float32) * scale).astype(bqkv.dtype),
+         bqkv[C:]], axis=0)
+    # (bias is added after the scaled q.k product, so it stays unscaled)
+
+    # windows per grid step: batches the per-token matmuls; 8 measured best
+    # on v5e for the narrow stages. At C=768 (stage 3) group=8 blows scoped
+    # VMEM (the [G*N, 4C] f32 MLP intermediate + the 24-head f32 bias table
+    # exceed the ~114.5 MB stack limit by ~0.3 MB), so cap wide stages at 4.
+    max_group = 8 if C <= 384 else 4
+    group = next((g for g in (8, 4, 2, 1) if g <= max_group and W % g == 0), 1)
 
     def prep(vec, fill):
         if vec is None:
@@ -171,6 +211,7 @@ def swin_block_fused(
     region = prep(region, 0.0)                  # [W, 1, N]
     valid = jnp.swapaxes(prep(valid, 1.0), 1, 2)  # [W, N, 1] (lane concat of
     # 1-D vectors is unsupported in Mosaic; a column concats on sublanes)
+    ones = jnp.ones((C, 1), jnp.float32)
 
     def const_spec(a):
         return pl.BlockSpec(a.shape, lambda w, _n=a.ndim: (0,) * _n,
@@ -184,12 +225,11 @@ def swin_block_fused(
                             memory_space=pltpu.VMEM)
     args = [x, ln1_scale[None], ln1_bias[None], wqkv, bqkv[None],
             wproj, bproj[None], ln2_scale[None], ln2_bias[None],
-            wfc1, bfc1[None], wfc2, bfc2[None], bias, region, valid]
-    specs = [row_spec] + [const_spec(a) for a in args[1:14]] + [vec_spec,
-                                                                col_spec]
+            wfc1, bfc1[None], wfc2, bfc2[None], bias, region, valid, ones]
+    specs = ([row_spec] + [const_spec(a) for a in args[1:14]]
+             + [vec_spec, col_spec, const_spec(ones)])
     return pl.pallas_call(
-        functools.partial(_body, num_heads=num_heads, scale=scale,
-                          group=group),
+        functools.partial(_body, num_heads=num_heads, group=group),
         grid=(W // group,),
         in_specs=specs,
         out_specs=row_spec,
