@@ -480,9 +480,9 @@ def fused_block_apply(
 
     index = _relative_position_index(full_window)[:N, :N].reshape(-1)
     table = p["attn"]["relative_position_bias_table"]
-    bias = (
-        table[index].reshape(N, N, num_heads).transpose(2, 0, 1)
-    ).astype(jnp.float32)
+    # bias stays in the parameter dtype (bf16 in serving): it is upcast on
+    # use in-kernel, and the halved VMEM footprint matters at 24 heads
+    bias = table[index].reshape(N, N, num_heads).transpose(2, 0, 1)
 
     out = swin_block_fused(
         windows,
