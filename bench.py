@@ -18,10 +18,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np
 
+from vgqa_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
 TARGET_CLIPS_PER_SEC = 10.0  # north-star from /root/repo/BASELINE.json
 
 
-def _measure(res: int, iters: int):
+def _measure(res: int, iters: int, batch: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -36,7 +40,6 @@ def _measure(res: int, iters: int):
     model = VSTGNet(gcfg)
 
     rng = np.random.RandomState(0)
-    batch = 1
     video = VideoBatch(
         frames=jnp.asarray(
             rng.randn(batch, t, res, res, 3).astype(np.float32) * 0.1,
@@ -94,8 +97,10 @@ def main():
 
     import jax
 
-    clips_224, compile_s, step_ms = _measure(224, iters=20)
+    batch = int(os.environ.get("VGQA_BENCH_BATCH", "1"))
+    clips_224, compile_s, step_ms = _measure(224, iters=20, batch=batch)
     extra = {
+        "batch": batch,
         "compile_s": round(compile_s, 1),
         "step_ms": round(step_ms, 1),
         "device": str(jax.devices()[0]),
@@ -104,7 +109,7 @@ def main():
     if os.environ.get("VGQA_BENCH_420", "1") != "0":
         # the reference's shipped production resolution
         # (/root/reference/configs/grounding_vidstg.yaml:6)
-        clips_420, _, step_420 = _measure(420, iters=10)
+        clips_420, _, step_420 = _measure(420, iters=10, batch=batch)
         extra["clips_per_sec_420px"] = round(clips_420, 3)
         extra["step_ms_420px"] = round(step_420, 1)
 

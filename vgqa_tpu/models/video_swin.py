@@ -521,6 +521,8 @@ def fused_backbone_apply(
 
     Mirrors VideoSwinBackbone.__call__ (deterministic) op-for-op; consumes
     the module's own parameter tree."""
+    from ..ops.pallas.swin_block import swin_block_canvas
+
     c = cfg
     pd, ph, pw = c.patch_size
     B, T, H, W, _ = frames.shape
@@ -553,15 +555,41 @@ def fused_backbone_apply(
         if any(pads):
             x = jnp.pad(x, ((0, 0), (0, pads[0]), (0, pads[1]),
                             (0, pads[2]), (0, 0)))
+        padded = (D_ + pads[0], H_ + pads[1], W_ + pads[2])
+        N = window[0] * window[1] * window[2]
+        # the canvas kernel reads windows of roll(x, -shift) and writes in
+        # that rolled frame; consecutive blocks' rolls compose into one
+        # BlockSpec index offset, and the frame unrolls once at stage end
+        frame = (0, 0, 0)
         for b in range(depth):
             shift = (
-                (0, 0, 0) if b % 2 == 0 else tuple(w // 2 for w in c.window)
+                (0, 0, 0) if b % 2 == 0
+                else tuple(w // 2 for w in c.window)
             )
-            x = fused_block_apply(
-                x, params[f"stage{stage}_block{b}"], c.window, shift,
-                c.num_heads[stage], interpret=interpret,
-                true_dims=(D_, H_, W_),
+            _, shift = _adjust_window((D_, H_, W_), c.window, shift)
+            rel = tuple((s - f) % p for s, f, p in zip(shift, frame, padded))
+            region = (_region_partition(padded, window, shift)
+                      if any(shift) else None)
+            valid = _valid_partition((D_, H_, W_), padded, window, shift)
+            p = params[f"stage{stage}_block{b}"]
+            index = _relative_position_index(c.window)[:N, :N].reshape(-1)
+            table = p["attn"]["relative_position_bias_table"]
+            bias = table[index].reshape(N, N, c.num_heads[stage])
+            bias = bias.transpose(2, 0, 1)
+            x = swin_block_canvas(
+                x,
+                p["norm1"]["scale"], p["norm1"]["bias"],
+                p["attn"]["qkv"]["kernel"], p["attn"]["qkv"]["bias"],
+                p["attn"]["proj"]["kernel"], p["attn"]["proj"]["bias"],
+                p["norm2"]["scale"], p["norm2"]["bias"],
+                p["mlp_fc1"]["kernel"], p["mlp_fc1"]["bias"],
+                p["mlp_fc2"]["kernel"], p["mlp_fc2"]["bias"],
+                bias, c.num_heads[stage], window, rel,
+                region=region, valid=valid, interpret=interpret,
             )
+            frame = shift
+        if any(frame):
+            x = jnp.roll(x, shift=frame, axis=(1, 2, 3))
         x = x[:, :D_, :H_, :W_]
         out[str(stage)] = x
         if stage < len(c.depths) - 1:

@@ -98,8 +98,8 @@ def _make_ln(ones, C):
 
 
 def _tail(xx, attn, wp_ref, bp_ref, g2_ref, b2_ref, w1_ref, bf1_ref,
-          w2_ref, bf2_ref, ln, o_ref):
-    """proj -> residual -> LN2 -> MLP(GELU) -> residual -> write."""
+          w2_ref, bf2_ref, ln, out_dtype):
+    """proj -> residual -> LN2 -> MLP(GELU) -> residual; returns [G*N, C]."""
     proj = jax.lax.dot_general(
         attn, wp_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -116,36 +116,41 @@ def _tail(xx, attn, wp_ref, bp_ref, g2_ref, b2_ref, w1_ref, bf1_ref,
         f, w2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(xx.dtype) + bf2_ref[0].astype(xx.dtype)
-    o_ref[...] = (x1 + f).astype(o_ref.dtype)
+    return (x1 + f).astype(out_dtype)
 
 
-def _body_sliced(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
-                 g2_ref, b2_ref, w1_ref, bf1_ref, w2_ref, bf2_ref,
-                 bias_ref, region_ref, valid_ref, ones_ref, o_ref, *,
-                 num_heads: int, group: int, N: int, C: int):
-    """Per-head lane-sliced attention (stages with C > 128)."""
-    G = group
+def _compute_block(xx, valid, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wp_ref,
+                   bp_ref, g2_ref, b2_ref, w1_ref, bf1_ref, w2_ref, bf2_ref,
+                   bias_ref, region_rows, ones_ref, out_dtype, *,
+                   num_heads: int, G: int, N: int, C: int):
+    """Whole-block compute on assembled tokens xx [G*N, C]; returns the
+    block output [G*N, C] in ``out_dtype``.
+
+    ``region_rows(g)`` returns window g's [N] region-id row (or None)."""
     D = C // num_heads
-    xx = x_ref[...]                                   # [G*N, C]
-    valid = valid_ref[...].astype(jnp.float32)        # [G*N, 1]
     ln = _make_ln(ones_ref[...], C)
 
     # LN1; zero padded tokens so they act as the XLA path's pad-after-norm
     # zero vectors (keys/values reduce to the qkv bias, no effect on valid
     # tokens beyond reference semantics)
-    h = (ln(xx, g1_ref[0], b1_ref[0]) * valid).astype(x_ref.dtype)
+    h = ln(xx, g1_ref[0], b1_ref[0])
+    if valid is not None:
+        h = h * valid
+    h = h.astype(xx.dtype)
 
     qkv = jax.lax.dot_general(
         h, wqkv_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(x_ref.dtype) + bqkv_ref[0].astype(x_ref.dtype)   # [G*N, 3C]
+    ).astype(xx.dtype) + bqkv_ref[0].astype(xx.dtype)         # [G*N, 3C]
 
-    ones_col = jnp.ones((N, 1), x_ref.dtype)
+    ones_col = jnp.ones((N, 1), xx.dtype)
     wouts = []
     for g in range(G):
         row = qkv[g * N:(g + 1) * N]
-        r = region_ref[g, 0].astype(jnp.float32)
-        region_mask = jnp.where(r[:, None] != r[None, :], NEG_INF, 0.0)
+        r = region_rows(g)
+        if r is not None:
+            r = r.astype(jnp.float32)
+            region_mask = jnp.where(r[:, None] != r[None, :], NEG_INF, 0.0)
         outs = []
         for hd in range(num_heads):
             # scale pre-folded into the q-columns of wqkv (swin_block_fused)
@@ -155,22 +160,39 @@ def _body_sliced(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
             s = jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) + (bias_ref[hd].astype(jnp.float32) + region_mask)
+            ) + bias_ref[hd].astype(jnp.float32)
+            if r is not None:
+                s = s + region_mask
             # no max-subtraction: s is bounded well inside f32 exp range,
             # and exp(NEG_INF) underflows to exactly 0 for masked pairs
-            p = jnp.exp(s).astype(x_ref.dtype)               # [N, N] bf16
+            p = jnp.exp(s).astype(xx.dtype)                  # [N, N] bf16
             o_aug = jax.lax.dot_general(
                 p, jnp.concatenate([vh, ones_col], axis=-1),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                                # [N, D+1]
             o = o_aug[:, :D] / o_aug[:, D:D + 1]
-            outs.append(o.astype(x_ref.dtype))
+            outs.append(o.astype(xx.dtype))
         wouts.append(jnp.concatenate(outs, axis=-1))
     attn = jnp.concatenate(wouts, axis=0)                    # [G*N, C]
 
-    _tail(xx, attn, wp_ref, bp_ref, g2_ref, b2_ref, w1_ref, bf1_ref,
-          w2_ref, bf2_ref, ln, o_ref)
+    return _tail(xx, attn, wp_ref, bp_ref, g2_ref, b2_ref, w1_ref, bf1_ref,
+                 w2_ref, bf2_ref, ln, out_dtype)
+
+
+def _body_sliced(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
+                 g2_ref, b2_ref, w1_ref, bf1_ref, w2_ref, bf2_ref,
+                 bias_ref, region_ref, valid_ref, ones_ref, o_ref, *,
+                 num_heads: int, group: int, N: int, C: int):
+    """Flat-window body: x [G*N, C] pre-partitioned outside the kernel."""
+    xx = x_ref[...]
+    valid = valid_ref[...].astype(jnp.float32)        # [G*N, 1]
+    o_ref[...] = _compute_block(
+        xx, valid, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
+        g2_ref, b2_ref, w1_ref, bf1_ref, w2_ref, bf2_ref, bias_ref,
+        lambda g: region_ref[g, 0], ones_ref, o_ref.dtype,
+        num_heads=num_heads, G=group, N=N, C=C,
+    )
 
 
 def swin_block_fused(
@@ -252,3 +274,197 @@ def swin_block_fused(
         interpret=interpret,
     )(*args)
     return out.reshape(W, N, C)
+
+
+# ---------------------------------------------------------------------------
+# Canvas-I/O megakernel: window partition, cyclic shift, and reverse all
+# happen INSIDE the kernel.
+#
+# The XLA path spends more time on layout than the kernel spends computing:
+# partition/reverse each lower to reshape+transpose+reshape chains (~1.8 ms
+# per direction on the 420px stage-0 tensor) and each 3-axis roll to three
+# slice+concat copies (~1.7 ms). This kernel reads (1, wd, wh, Wp, C)
+# stripes of the [B, Dp, Hp, Wp, C] canvas directly, assembles the stripe's
+# windows in VMEM from [ww, C] sublane slices (Mosaic accepts sublane
+# concat; it rejects the equivalent reshape), runs the block, and scatters
+# the result back to canvas layout. Cyclic shifts become BlockSpec index
+# arithmetic: a rolled stripe spans at most two (d, h) block rows, so the
+# canvas is passed up to four times with neighbor index maps (wrapping via
+# where, not modulo — Mosaic rejects mod in index maps), and the W-axis
+# wrap stays inside the VMEM-resident stripe.
+#
+# The kernel reads windows of roll(canvas, (-rd, -rh, -rw)) and writes its
+# output in that ROLLED frame; the caller tracks the frame across blocks
+# (consecutive blocks cancel each other's rolls) and unrolls once per stage.
+# ---------------------------------------------------------------------------
+
+
+def _body_canvas(*refs, num_heads: int, N: int, C: int,
+                 window, nww: int, wp: int, t: tuple,
+                 nd_refs: int, nh_refs: int, has_region: bool,
+                 has_valid: bool):
+    """Assemble -> compute -> scatter for one (batch, d-row, h-row) stripe."""
+    wd, wh, ww = window
+    td, th, tw = t
+    i = 0
+    xrefs = [[None, None], [None, None]]
+    for da in range(nd_refs):
+        for db in range(nh_refs):
+            xrefs[da][db] = refs[i]
+            i += 1
+    (g1_ref, b1_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, g2_ref, b2_ref,
+     w1_ref, bf1_ref, w2_ref, bf2_ref, bias_ref) = refs[i:i + 13]
+    i += 13
+    region_ref = refs[i] if has_region else None
+    i += has_region
+    valid_ref = refs[i] if has_valid else None
+    i += has_valid
+    ones_ref = refs[i]
+    o_ref = refs[i + 1]
+
+    def w_tokens(src, ld, lh, w):
+        """[ww, C] token rows of window w at rolled (d, h) source row."""
+        c0 = (w * ww + tw) % wp
+        if c0 + ww <= wp:
+            return src[0, ld, lh, c0:c0 + ww, :]
+        head = src[0, ld, lh, c0:wp, :]
+        tail = src[0, ld, lh, 0:c0 + ww - wp, :]
+        return jnp.concatenate([head, tail], axis=0)
+
+    windows = []
+    for w in range(nww):
+        pieces = []
+        for d in range(wd):
+            ld = td + d
+            da, ld = (0, ld) if ld < wd else (1, ld - wd)
+            for h in range(wh):
+                lh = th + h
+                db, lh = (0, lh) if lh < wh else (1, lh - wh)
+                pieces.append(w_tokens(xrefs[da][db], ld, lh, w))
+        windows.append(jnp.concatenate(pieces, axis=0))      # [N, C]
+    xx = jnp.concatenate(windows, axis=0)                    # [G*N, C]
+
+    valid = (valid_ref[0, 0].astype(jnp.float32)
+             if valid_ref is not None else None)             # [G*N, 1]
+    out = _compute_block(
+        xx, valid, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
+        g2_ref, b2_ref, w1_ref, bf1_ref, w2_ref, bf2_ref, bias_ref,
+        (lambda g: region_ref[0, 0, g]) if region_ref is not None
+        else (lambda g: None),
+        ones_ref, o_ref.dtype, num_heads=num_heads, G=nww, N=N, C=C,
+    )
+    for w in range(nww):
+        for d in range(wd):
+            for h in range(wh):
+                r0 = w * N + (d * wh + h) * ww
+                o_ref[0, d, h, w * ww:(w + 1) * ww, :] = out[r0:r0 + ww, :]
+
+
+def swin_block_canvas(
+    canvas: jnp.ndarray,                 # [B, Dp, Hp, Wp, C] window-padded
+    ln1_scale, ln1_bias,
+    wqkv, bqkv, wproj, bproj,
+    ln2_scale, ln2_bias,
+    wfc1, bfc1, wfc2, bfc2,
+    bias: jnp.ndarray,                   # [H, N, N] rel-pos bias
+    num_heads: int,
+    window,                              # (wd, wh, ww), already dim-clamped
+    roll,                                # (rd, rh, rw): read = roll(canvas,
+                                         #   (-rd,-rh,-rw)); out stays rolled
+    region: Optional[jnp.ndarray] = None,  # [nW, N] ids in the rolled frame
+    valid: Optional[jnp.ndarray] = None,   # [nW, N] 1=real in rolled frame
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, Dp, Hp, Wp, C = canvas.shape
+    wd, wh, ww = window
+    assert Dp % wd == 0 and Hp % wh == 0 and Wp % ww == 0, (canvas.shape,
+                                                           window)
+    A, Bh, nww = Dp // wd, Hp // wh, Wp // ww
+    N = wd * wh * ww
+    nW = A * Bh * nww
+    scale = (C // num_heads) ** -0.5
+
+    wqkv = jnp.concatenate(
+        [(wqkv[:, :C].astype(jnp.float32) * scale).astype(wqkv.dtype),
+         wqkv[:, C:]], axis=1)
+    bqkv = jnp.concatenate(
+        [(bqkv[:C].astype(jnp.float32) * scale).astype(bqkv.dtype),
+         bqkv[C:]], axis=0)
+
+    rd, rh, rw = (r % s for r, s in zip(roll, (Dp, Hp, Wp)))
+    qd, td = divmod(rd, wd)
+    qh, th = divmod(rh, wh)
+    nd_refs = 2 if td else 1
+    nh_refs = 2 if th else 1
+
+    def wrap(i, n):
+        return jnp.where(i >= n, i - n, i)
+
+    stripe = (1, wd, wh, Wp, C)
+    xspecs = []
+    for da in range(nd_refs):
+        for db in range(nh_refs):
+            xspecs.append(pl.BlockSpec(
+                stripe,
+                functools.partial(
+                    lambda v, a, b, _da, _db: (
+                        v, wrap(a + qd + _da, A), wrap(b + qh + _db, Bh),
+                        0, 0),
+                    _da=da, _db=db),
+                memory_space=pltpu.VMEM,
+            ))
+
+    def const_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda v, a, b, _n=arr.ndim: (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    weights = [ln1_scale[None], ln1_bias[None], wqkv, bqkv[None],
+               wproj, bproj[None], ln2_scale[None], ln2_bias[None],
+               wfc1, bfc1[None], wfc2, bfc2[None], bias]
+    args = [canvas] * (nd_refs * nh_refs) + weights
+    specs = xspecs + [const_spec(a) for a in weights]
+
+    if region is not None:
+        region = region.astype(jnp.float32)
+        if region.shape[0] != nW:
+            assert nW % region.shape[0] == 0
+            region = jnp.tile(region, (nW // region.shape[0], 1))
+        region = region.reshape(A, Bh, nww, N)
+        args.append(region)
+        specs.append(pl.BlockSpec((1, 1, nww, N),
+                                  lambda v, a, b: (a, b, 0, 0),
+                                  memory_space=pltpu.VMEM))
+    if valid is not None:
+        valid = valid.astype(jnp.float32)
+        if valid.shape[0] != nW:
+            assert nW % valid.shape[0] == 0
+            valid = jnp.tile(valid, (nW // valid.shape[0], 1))
+        valid = valid.reshape(A, Bh, nww * N, 1)
+        args.append(valid)
+        specs.append(pl.BlockSpec((1, 1, nww * N, 1),
+                                  lambda v, a, b: (a, b, 0, 0),
+                                  memory_space=pltpu.VMEM))
+
+    ones = jnp.ones((C, 1), jnp.float32)
+    args.append(ones)
+    specs.append(const_spec(ones))
+
+    out_spec = pl.BlockSpec(stripe, lambda v, a, b: (v, a, b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    body = functools.partial(
+        _body_canvas, num_heads=num_heads, N=N, C=C, window=window,
+        nww=nww, wp=Wp, t=(td, th, rw),
+        nd_refs=nd_refs, nh_refs=nh_refs,
+        has_region=region is not None, has_valid=valid is not None,
+    )
+    return pl.pallas_call(
+        body,
+        grid=(B, A, Bh),
+        in_specs=specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(canvas.shape, canvas.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
