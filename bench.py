@@ -97,7 +97,7 @@ def main():
 
     import jax
 
-    batch = int(os.environ.get("VGQA_BENCH_BATCH", "1"))
+    batch = int(os.environ.get("VGQA_BENCH_BATCH", "2"))
     clips_224, compile_s, step_ms = _measure(224, iters=20, batch=batch)
     extra = {
         "batch": batch,
