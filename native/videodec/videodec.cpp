@@ -106,23 +106,27 @@ int vd_info(const char* path, int* total_frames, double* fps, int* width,
 }
 
 // Decode the frames listed in frame_ids (any order, repeats allowed) into
-// `out` (n * height * width * 3 bytes, RGB24). Returns 0 on success.
-int vd_read_frames(const char* path, const long* frame_ids, int n,
-                   uint8_t* out) {
+// `out` (n * out_h * out_w * 3 bytes, RGB24), scaling to (out_w, out_h)
+// inside the same swscale pass that converts pixel format (out_w/out_h of
+// 0 keep the native size). Returns 0 on success.
+int vd_read_frames_scaled(const char* path, const long* frame_ids, int n,
+                          uint8_t* out, int out_w, int out_h) {
   Decoder d;
   int rc = d.open(path);
   if (rc != 0) return rc;
+  if (out_w <= 0) out_w = d.width;
+  if (out_h <= 0) out_h = d.height;
 
   std::vector<long> wanted(frame_ids, frame_ids + n);
   std::vector<long> uniq(wanted);
   std::sort(uniq.begin(), uniq.end());
   uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
 
-  const int frame_bytes = d.width * d.height * 3;
+  const int frame_bytes = out_w * out_h * 3;
   std::vector<std::vector<uint8_t>> decoded(uniq.size());
 
-  d.sws = sws_getContext(d.width, d.height, d.codec->pix_fmt, d.width,
-                         d.height, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
+  d.sws = sws_getContext(d.width, d.height, d.codec->pix_fmt, out_w,
+                         out_h, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
                          nullptr, nullptr);
   if (!d.sws) return -7;
 
@@ -136,7 +140,7 @@ int vd_read_frames(const char* path, const long* frame_ids, int n,
   auto convert_into = [&](size_t i, AVFrame* f) {
     decoded[i].resize(frame_bytes);
     uint8_t* dst[1] = {decoded[i].data()};
-    int dst_stride[1] = {d.width * 3};
+    int dst_stride[1] = {out_w * 3};
     sws_scale(d.sws, f->data, f->linesize, 0, d.height, dst, dst_stride);
   };
 
@@ -212,6 +216,12 @@ int vd_read_frames(const char* path, const long* frame_ids, int n,
     std::memcpy(out + (size_t)i * frame_bytes, decoded[j].data(), frame_bytes);
   }
   return 0;
+}
+
+// Back-compat: native-size decode.
+int vd_read_frames(const char* path, const long* frame_ids, int n,
+                   uint8_t* out) {
+  return vd_read_frames_scaled(path, frame_ids, n, out, 0, 0);
 }
 
 }  // extern "C"

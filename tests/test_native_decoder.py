@@ -58,3 +58,20 @@ def test_video_io_prefers_native(video):
 
     frames = video_io.read_frames(video, [1, 2])
     assert frames.shape == (2, 48, 64, 3)
+
+
+@needs_native
+def test_scaled_decode_matches_resize(video):
+    """size=(w,h) scales inside the decoder's swscale pass; pixels must be
+    close to a separate decode + bilinear resize (methods differ slightly)."""
+    import cv2
+
+    from vgqa_tpu.data import video_io
+
+    scaled = video_io.read_frames(video, [0, 7, 15], size=(32, 24))
+    assert scaled.shape == (3, 24, 32, 3)
+    raw = video_io.read_frames(video, [0, 7, 15])
+    for i in range(3):
+        ref = cv2.resize(raw[i], (32, 24), interpolation=cv2.INTER_LINEAR)
+        err = np.abs(ref.astype(int) - scaled[i].astype(int)).mean()
+        assert err < 16, err

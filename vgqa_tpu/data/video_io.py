@@ -57,19 +57,35 @@ def video_info(path: str) -> Tuple[int, float, int, int]:
     return total, fps, w, h
 
 
-def read_frames(path: str, frame_ids: List[int], patience: int = 3) -> np.ndarray:
+def read_frames(
+    path: str,
+    frame_ids: List[int],
+    patience: int = 3,
+    size: Optional[Tuple[int, int]] = None,
+) -> np.ndarray:
     """Decode the requested frames as uint8 RGB [T, H, W, 3].
 
-    ``patience`` retries transient decode failures (the reference retries
-    whole-video decodes 20x, vidstg_dataset.py:116-131; selective decode
-    makes retries cheap)."""
+    ``size=(w, h)`` scales during decode (the native decoder folds the
+    resize into the same swscale pass that converts pixel format — one
+    pass instead of decode-then-cv2.resize). ``patience`` retries
+    transient decode failures (the reference retries whole-video decodes
+    20x, vidstg_dataset.py:116-131; selective decode makes retries
+    cheap)."""
     last_err: Optional[Exception] = None
     for _ in range(max(1, patience)):
         try:
             nat = _load_native()
             if nat is not None:
-                return nat.read_frames(path, frame_ids)
-            return _cv2_read_frames(path, frame_ids)
+                return nat.read_frames(path, frame_ids, size=size)
+            raw = _cv2_read_frames(path, frame_ids)
+            if size is not None and raw.shape[2:0:-1] != size:
+                import cv2
+
+                out = np.empty((raw.shape[0], size[1], size[0], 3), np.uint8)
+                for i, f in enumerate(raw):
+                    out[i] = cv2.resize(f, size, interpolation=cv2.INTER_LINEAR)
+                raw = out
+            return raw
         except Exception as e:  # pragma: no cover - IO flake path
             last_err = e
     raise RuntimeError(f"Load Video Error: {path}") from last_err

@@ -126,27 +126,24 @@ def predict(
     total_frames, fps, w0, h0 = video_info(video_path)
     target_t = max(2, int(cfg.INPUT.TRAIN_SAMPLE_NUM) * 2)
     frame_ids = uniform_sample_indices(total_frames, target_t)
-    raw = read_frames(video_path, frame_ids)
+    # square resize to the model resolution happens DURING decode: the
+    # native decoder folds the scale into the same swscale pass that
+    # converts pixel format (grounding.py:77-87 uses a plain square
+    # Resize, not the letterbox train transform); normalization happens
+    # on device
+    frames = read_frames(video_path, frame_ids, size=(res, res))
 
     # short videos can sample an odd frame count (uniform_sample_indices
     # returns total_frames when < target_t); the even/odd split below needs
     # an even T, so duplicate the last frame (keeps every decoded frame in
     # a half rather than dropping one)
-    if raw.shape[0] < 2:
-        raw = np.repeat(raw, 2, axis=0)
+    if frames.shape[0] < 2:
+        frames = np.repeat(frames, 2, axis=0)
         frame_ids = list(frame_ids) * 2
-    if raw.shape[0] % 2:
-        raw = np.concatenate([raw, raw[-1:]], axis=0)
+    if frames.shape[0] % 2:
+        frames = np.concatenate([frames, frames[-1:]], axis=0)
         frame_ids = list(frame_ids) + [frame_ids[-1]]
     frame_ids = np.asarray(frame_ids)
-
-    # square resize in uint8 (grounding.py:77-87 uses a plain square Resize,
-    # not the letterbox train transform); normalization happens on device
-    frames = np.empty((raw.shape[0], res, res, 3), np.uint8)
-    import cv2
-
-    for i, f in enumerate(raw):
-        frames[i] = cv2.resize(f, (res, res), interpolation=cv2.INTER_LINEAR)
 
     # both 64-frame halves ride ONE batched forward (V=2): the reference
     # runs them sequentially (grounding.py:204-211); batching halves the

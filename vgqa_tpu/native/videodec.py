@@ -63,6 +63,15 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.vd_read_frames.restype = ctypes.c_int
+    lib.vd_read_frames_scaled.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_long),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.vd_read_frames_scaled.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -87,15 +96,26 @@ def video_info(path: str) -> Tuple[int, float, int, int]:
     return frames.value, fps.value, w.value, h.value
 
 
-def read_frames(path: str, frame_ids: List[int]) -> np.ndarray:
+def read_frames(
+    path: str,
+    frame_ids: List[int],
+    size: Optional[Tuple[int, int]] = None,
+) -> np.ndarray:
+    """Decode the listed frames; ``size=(w, h)`` scales inside the same
+    swscale pass that converts pixel format (one pass instead of
+    decode-then-resize)."""
     lib = _load()
     assert lib is not None
-    _, _, w, h = video_info(path)
+    if size is None:
+        _, _, w, h = video_info(path)
+    else:
+        w, h = size
     n = len(frame_ids)
     ids = (ctypes.c_long * n)(*[int(i) for i in frame_ids])
     out = np.empty((n, h, w, 3), dtype=np.uint8)
-    rc = lib.vd_read_frames(
-        path.encode(), ids, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    rc = lib.vd_read_frames_scaled(
+        path.encode(), ids, n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h,
     )
     if rc != 0:
         raise RuntimeError(f"videodec.vd_read_frames failed ({rc}) for {path}")
