@@ -58,6 +58,10 @@ def main():
     ap.add_argument("--inter", type=int, default=5504)
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--max-new", type=int, default=32)
+    ap.add_argument("--vit-layers", type=int, default=12)
+    ap.add_argument("--quant-only", action="store_true",
+                    help="skip the bf16 pass (8B-class bf16 exceeds one "
+                         "v5e's 16 GB HBM; int8 fits)")
     args = ap.parse_args()
 
     import jax
@@ -73,7 +77,8 @@ def main():
         intermediate_size=args.inter, max_seq_len=8192,
     )
     vit_cfg = ViTConfig(
-        image_size=448, patch_size=14, hidden_size=1024, num_layers=12,
+        image_size=448, patch_size=14, hidden_size=1024,
+        num_layers=args.vit_layers,
         num_heads=16, intermediate_size=4096, llm_hidden_size=args.hidden,
     )
     n_params = (
@@ -88,20 +93,37 @@ def main():
     print(f"LLM: {args.layers}L x {args.hidden}d (~{n_params/1e9:.2f}B params), "
           f"{args.frames} frames, bf16 base", flush=True)
 
-    engine = QAEngine.init_random(llm_cfg, vit_cfg, dtype=jnp.bfloat16)
-    engine.params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        engine.params,
-    )
+    if args.quant_only:
+        # 8B-class: init + quantize on host CPU (an f32 device init would
+        # need 4 bytes/param of HBM), then upload the int8 tree
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            engine = QAEngine.init_random(llm_cfg, vit_cfg, dtype=jnp.bfloat16)
+            engine.params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x,
+                engine.params,
+            )
+            engine.params["llm"] = quantize_llm_params(engine.params["llm"])
+        dev = jax.devices()[0]
+        engine.params = jax.device_put(engine.params, dev)
+    else:
+        engine = QAEngine.init_random(llm_cfg, vit_cfg, dtype=jnp.bfloat16)
+        engine.params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            engine.params,
+        )
     tiles = np.random.RandomState(0).rand(args.frames, 448, 448, 3).astype(
         np.float32
     )
 
-    bf16 = run(engine, tiles, args.frames, args.max_new, "bf16 ")
-
-    engine.params["llm"] = quantize_llm_params(engine.params["llm"])
+    bf16 = None
+    if not args.quant_only:
+        bf16 = run(engine, tiles, args.frames, args.max_new, "bf16 ")
+        engine.params["llm"] = quantize_llm_params(engine.params["llm"])
     int8 = run(engine, tiles, args.frames, args.max_new, "int8 ")
-    print(f"int8/bf16 speedup: {int8 / bf16:.2f}x", flush=True)
+    if bf16:
+        print(f"int8/bf16 speedup: {int8 / bf16:.2f}x", flush=True)
 
 
 if __name__ == "__main__":
