@@ -229,3 +229,37 @@ def test_remat_train_step_matches_no_remat():
 
     np.testing.assert_allclose(losses[False], losses[True], rtol=1e-5)
     np.testing.assert_allclose(leaves[False], leaves[True], atol=1e-6)
+
+
+def test_train_step_mixed_precision(model_and_params):
+    """compute_dtype=bf16: fwd/bwd in bf16, master params stay f32, loss
+    finite and close to the f32 step's loss; params actually move."""
+    import jax.numpy as jnp
+
+    model, params = model_and_params
+    cfg = _cfg()
+    tx, _ = make_optimizer(cfg, params, max_iter=10)
+    loss_fn = VideoSTGLoss(use_aux_loss=True)
+    weight_dict = build_weight_dict(cfg)
+    video, text, targets = _batch()
+    rng = jax.random.PRNGKey(0)
+
+    f32_step = jax.jit(make_train_step(model, loss_fn, weight_dict, tx, None))
+    bf_step = jax.jit(make_train_step(model, loss_fn, weight_dict, tx, None,
+                                      compute_dtype=jnp.bfloat16))
+    s_f = create_train_state(params, tx, use_ema=False)
+    s_b = create_train_state(params, tx, use_ema=False)
+    s_f1, m_f = f32_step(s_f, video, text, targets, rng)
+    s_b1, m_b = bf_step(s_b, video, text, targets, rng)
+
+    lf, lb = float(m_f["loss"]), float(m_b["loss"])
+    assert np.isfinite(lb)
+    assert abs(lf - lb) / max(abs(lf), 1e-6) < 0.05, (lf, lb)
+    # master params stay f32 and move
+    leaves = jax.tree.leaves(s_b1.params)
+    assert all(x.dtype != jnp.bfloat16 for x in leaves)
+    p0 = np.concatenate([np.ravel(x) for x in
+                         jax.tree.leaves(params["params"]["ground_encoder"])])
+    p1 = np.concatenate([np.ravel(x) for x in jax.tree.leaves(
+        s_b1.params["params"]["ground_encoder"])])
+    assert np.abs(p0 - p1).max() > 0

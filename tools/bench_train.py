@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--res", type=int, default=0, help="override resolution")
     ap.add_argument("--remat", action="store_true",
                     help="per-block gradient checkpointing")
+    ap.add_argument("--bf16", action="store_true",
+                    help="mixed precision: bf16 fwd/bwd, f32 master params")
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
 
@@ -45,7 +47,10 @@ def main():
         res = args.res
     if args.remat:
         cfg.TPU.REMAT = True
-    print(f"config: T={t} res={res} remat={args.remat}", flush=True)
+    if args.bf16:
+        cfg.TPU.TRAIN_DTYPE = "bfloat16"
+    print(f"config: T={t} res={res} remat={args.remat} "
+          f"dtype={cfg.TPU.TRAIN_DTYPE}", flush=True)
     model = VSTGNet(GroundingConfig.from_cfg(cfg))
     rng = np.random.RandomState(0)
     video = VideoBatch(
@@ -76,7 +81,10 @@ def main():
     loss_fn = VideoSTGLoss(sigma=cfg.SOLVER.SIGMA, eos_coef=cfg.SOLVER.EOS_COEF)
     step_fn = jax.jit(
         make_train_step(model, loss_fn, build_weight_dict(cfg), tx,
-                        cfg.MODEL.EMA_DECAY),
+                        cfg.MODEL.EMA_DECAY, remat=cfg.TPU.REMAT,
+                        compute_dtype=(jnp.bfloat16
+                                       if cfg.TPU.TRAIN_DTYPE == "bfloat16"
+                                       else None)),
         donate_argnums=(0,),
     )
 

@@ -98,6 +98,8 @@ class Trainer:
         step_fn = make_train_step(
             self.model, self.loss_fn, self.weight_dict, tx, ema_decay,
             remat=c.TPU.REMAT,
+            compute_dtype=(jnp.bfloat16
+                           if c.TPU.TRAIN_DTYPE == "bfloat16" else None),
         )
         donate = (0,) if c.TPU.DONATE else ()
         self.step_fn = jax.jit(step_fn, donate_argnums=donate)

@@ -174,6 +174,8 @@ def _tpu_cfg() -> Cfg:
     # training keeps the differentiable XLA path regardless
     t.USE_PALLAS_ATTENTION = True
     t.REMAT = False                 # jax.checkpoint over encoder/decoder blocks
+    t.TRAIN_DTYPE = "float32"       # "bfloat16" = mixed precision (bf16
+                                    # fwd/bwd, f32 master params/opt/EMA)
     t.DONATE = True                 # donate train-state buffers to the step
     t.PROFILE_DIR = ""              # capture a jax.profiler trace of steps 10-14
     return t

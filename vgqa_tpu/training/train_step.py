@@ -46,16 +46,30 @@ def make_train_step(
     tx: optax.GradientTransformation,
     ema_decay: Optional[float] = 0.9998,
     remat: bool = False,
+    compute_dtype: Optional[Any] = None,
 ):
     """Returns step_fn(state, video, text, targets, rng) -> (state, metrics).
 
     ``remat`` rematerializes the forward during backward (jax.checkpoint),
     trading ~1/3 extra FLOPs for activation memory — the TPU version of
-    gradient checkpointing for long-clip/high-resolution training."""
+    gradient checkpointing for long-clip/high-resolution training.
+
+    ``compute_dtype=jnp.bfloat16`` enables mixed precision: the forward and
+    backward run in bf16 (halving activation memory — what makes 64f@420px
+    fit one chip's HBM) while master params, gradients at the leaf
+    boundary, the optimizer state, EMA, and the loss stay f32. bf16 keeps
+    f32's exponent range, so no loss scaling is needed."""
 
     def forward(params, video, text, rng):
-        return model.apply(params, video, text, train=True,
-                           rngs={"dropout": rng})
+        out = model.apply(params, video, text, train=True,
+                          rngs={"dropout": rng})
+        if compute_dtype is not None:
+            # losses run in f32 (KL/BCE numerics)
+            out = jax.tree.map(
+                lambda a: a.astype(jnp.float32)
+                if a.dtype == jnp.bfloat16 else a, out,
+            )
+        return out
 
     if remat:
         forward = jax.checkpoint(forward, static_argnums=())
@@ -63,8 +77,20 @@ def make_train_step(
     def step_fn(state: TrainState, video: VideoBatch, text: TextBatch,
                 targets: Dict, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
+        if compute_dtype is not None:
+            video = VideoBatch(
+                video.frames.astype(compute_dtype),
+                video.pixel_mask, video.time_mask,
+            )
 
         def loss_of(params):
+            if compute_dtype is not None:
+                # differentiable cast: cotangents flow bf16 through the
+                # network and upcast to f32 at the master-param boundary
+                params = jax.tree.map(
+                    lambda a: a.astype(compute_dtype)
+                    if a.dtype == jnp.float32 else a, params,
+                )
             out = forward(params, video, text, rng)
             losses = loss_fn(out, targets)
             total = sum(
