@@ -157,3 +157,27 @@ def test_window_attention_key_valid_no_bias():
     out = window_attention(q, k, v, key_valid=key_valid, num_heads=H,
                            interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_fused_backbone_row_batched_grid():
+    """Shapes where the canvas kernel batches R>1 window-rows per grid step
+    (small late-stage canvases) must still match the module, including
+    SW-MSA shifts and window padding."""
+    from vgqa_tpu.models.video_swin import (
+        VideoSwinBackbone,
+        VideoSwinConfig,
+        fused_backbone_apply,
+    )
+
+    cfg = VideoSwinConfig.tiny_test()
+    model = VideoSwinBackbone(cfg)
+    rng = np.random.RandomState(11)
+    # 32x16 patches -> stage0 grid 8x4 rows of 2-wide windows: R engages
+    x = jnp.asarray(rng.randn(1, 4, 32, 16, 3).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(2), x)
+    out_m = model.apply(params, x)
+    out_f = fused_backbone_apply(params["params"], x, cfg, interpret=True)
+    for k in out_m:
+        np.testing.assert_allclose(
+            np.asarray(out_f[k]), np.asarray(out_m[k]), atol=1e-4, rtol=1e-3
+        )

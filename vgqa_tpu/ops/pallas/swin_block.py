@@ -300,10 +300,12 @@ def swin_block_fused(
 
 
 def _body_canvas(*refs, num_heads: int, N: int, C: int,
-                 window, nww: int, wp: int, t: tuple,
+                 window, nww: int, wp: int, t: tuple, R: int,
                  nd_refs: int, nh_refs: int, has_region: bool,
                  has_valid: bool):
-    """Assemble -> compute -> scatter for one (batch, d-row, h-row) stripe."""
+    """Assemble -> compute -> scatter for one stripe of R window-rows
+    (late stages have few windows per row; batching R rows per grid step
+    keeps DMAs large and amortizes per-step overhead)."""
     wd, wh, ww = window
     td, th, tw = t
     i = 0
@@ -332,16 +334,18 @@ def _body_canvas(*refs, num_heads: int, N: int, C: int,
         return jnp.concatenate([head, tail], axis=0)
 
     windows = []
-    for w in range(nww):
-        pieces = []
-        for d in range(wd):
-            ld = td + d
-            da, ld = (0, ld) if ld < wd else (1, ld - wd)
-            for h in range(wh):
-                lh = th + h
-                db, lh = (0, lh) if lh < wh else (1, lh - wh)
-                pieces.append(w_tokens(xrefs[da][db], ld, lh, w))
-        windows.append(jnp.concatenate(pieces, axis=0))      # [N, C]
+    for r in range(R):
+        for w in range(nww):
+            pieces = []
+            for d in range(wd):
+                ld = td + d
+                da, ld = (0, ld) if ld < wd else (1, ld - wd)
+                for h in range(wh):
+                    lh = r * wh + th + h
+                    db, lh = ((0, lh) if lh < R * wh
+                              else (1, lh - R * wh))
+                    pieces.append(w_tokens(xrefs[da][db], ld, lh, w))
+            windows.append(jnp.concatenate(pieces, axis=0))  # [N, C]
     xx = jnp.concatenate(windows, axis=0)                    # [G*N, C]
 
     valid = (valid_ref[0, 0].astype(jnp.float32)
@@ -351,13 +355,15 @@ def _body_canvas(*refs, num_heads: int, N: int, C: int,
         g2_ref, b2_ref, w1_ref, bf1_ref, w2_ref, bf2_ref, bias_ref,
         (lambda g: region_ref[0, 0, g]) if region_ref is not None
         else (lambda g: None),
-        ones_ref, o_ref.dtype, num_heads=num_heads, G=nww, N=N, C=C,
+        ones_ref, o_ref.dtype, num_heads=num_heads, G=R * nww, N=N, C=C,
     )
-    for w in range(nww):
-        for d in range(wd):
-            for h in range(wh):
-                r0 = w * N + (d * wh + h) * ww
-                o_ref[0, d, h, w * ww:(w + 1) * ww, :] = out[r0:r0 + ww, :]
+    for r in range(R):
+        for w in range(nww):
+            for d in range(wd):
+                for h in range(wh):
+                    r0 = (r * nww + w) * N + (d * wh + h) * ww
+                    o_ref[0, d, r * wh + h, w * ww:(w + 1) * ww, :] = \
+                        out[r0:r0 + ww, :]
 
 
 def swin_block_canvas(
@@ -392,15 +398,29 @@ def swin_block_canvas(
          bqkv[C:]], axis=0)
 
     rd, rh, rw = (r % s for r, s in zip(roll, (Dp, Hp, Wp)))
+
+    # R window-rows per grid step: late stages have few windows per row,
+    # so batch rows up to 8 windows per step (16-window steps measured
+    # slower at C=96; grouping benefits saturate at ~8). The f32 MLP
+    # intermediate dominates scoped VMEM: cap it at 20 MB (R=4 at C=384
+    # measured 140 MB total scoped use vs the 128 MB budget).
+    R = 1
+    for cand in (8, 4, 2):
+        if (Bh % cand == 0 and cand * nww <= 8
+                and cand * nww * N * 4 * C * 4 <= 20 * 1024 * 1024):
+            R = cand
+            break
+    Bh_g = Bh // R
+
     qd, td = divmod(rd, wd)
-    qh, th = divmod(rh, wh)
+    qh, th = divmod(rh, R * wh)
     nd_refs = 2 if td else 1
     nh_refs = 2 if th else 1
 
     def wrap(i, n):
         return jnp.where(i >= n, i - n, i)
 
-    stripe = (1, wd, wh, Wp, C)
+    stripe = (1, wd, R * wh, Wp, C)
     xspecs = []
     for da in range(nd_refs):
         for db in range(nh_refs):
@@ -408,7 +428,7 @@ def swin_block_canvas(
                 stripe,
                 functools.partial(
                     lambda v, a, b, _da, _db: (
-                        v, wrap(a + qd + _da, A), wrap(b + qh + _db, Bh),
+                        v, wrap(a + qd + _da, A), wrap(b + qh + _db, Bh_g),
                         0, 0),
                     _da=da, _db=db),
                 memory_space=pltpu.VMEM,
@@ -429,9 +449,9 @@ def swin_block_canvas(
         if region.shape[0] != nW:
             assert nW % region.shape[0] == 0
             region = jnp.tile(region, (nW // region.shape[0], 1))
-        region = region.reshape(A, Bh, nww, N)
+        region = region.reshape(A, Bh_g, R * nww, N)
         args.append(region)
-        specs.append(pl.BlockSpec((1, 1, nww, N),
+        specs.append(pl.BlockSpec((1, 1, R * nww, N),
                                   lambda v, a, b: (a, b, 0, 0),
                                   memory_space=pltpu.VMEM))
     if valid is not None:
@@ -439,9 +459,9 @@ def swin_block_canvas(
         if valid.shape[0] != nW:
             assert nW % valid.shape[0] == 0
             valid = jnp.tile(valid, (nW // valid.shape[0], 1))
-        valid = valid.reshape(A, Bh, nww * N, 1)
+        valid = valid.reshape(A, Bh_g, R * nww * N, 1)
         args.append(valid)
-        specs.append(pl.BlockSpec((1, 1, nww * N, 1),
+        specs.append(pl.BlockSpec((1, 1, R * nww * N, 1),
                                   lambda v, a, b: (a, b, 0, 0),
                                   memory_space=pltpu.VMEM))
 
@@ -454,13 +474,13 @@ def swin_block_canvas(
 
     body = functools.partial(
         _body_canvas, num_heads=num_heads, N=N, C=C, window=window,
-        nww=nww, wp=Wp, t=(td, th, rw),
+        nww=nww, wp=Wp, t=(td, th, rw), R=R,
         nd_refs=nd_refs, nh_refs=nh_refs,
         has_region=region is not None, has_valid=valid is not None,
     )
     return pl.pallas_call(
         body,
-        grid=(B, A, Bh),
+        grid=(B, A, Bh_g),
         in_specs=specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct(canvas.shape, canvas.dtype),
