@@ -180,3 +180,35 @@ def test_index_served(server):
     with urllib.request.urlopen(base + "/", timeout=30) as r:
         html = r.read().decode()
     assert "VGQA" in html and "runGrounding" in html
+
+
+def test_parse_queries_from_answer(server):
+    """Numbered / bulleted / fallback parsing parity with the reference's
+    regex parse (server.py:257-291)."""
+    _, mod = server
+    numbered = "Here are queries:\n1. a person walking left\n2) a red ball rolling\n- someone waving hand\n3. hi\n"
+    qs = mod._parse_queries_from_answer(numbered)
+    assert qs == [
+        "a person walking left",
+        "a red ball rolling",
+        "someone waving hand",
+    ]  # "hi" dropped (len <= 5)
+    # no list structure -> sentence-split fallback, length-bounded
+    fallback = mod._parse_queries_from_answer(
+        "The person walks to the door. Then he waves. ok."
+    )
+    assert "The person walks to the door" in fallback
+    assert "ok" not in fallback
+    assert mod._parse_queries_from_answer("") == []
+
+
+def test_generate_queries_endpoint(server):
+    base, _ = server
+    status, body = _post(
+        base + "/api/generate-queries",
+        {"video": "demo.mp4", "num_queries": 3, "num_frames": 2,
+         "max_tokens": 8},
+    )
+    assert status == 200
+    assert "queries" in body and "raw_answer" in body
+    assert isinstance(body["queries"], list)
