@@ -212,3 +212,23 @@ def test_generate_queries_endpoint(server):
     assert status == 200
     assert "queries" in body and "raw_answer" in body
     assert isinstance(body["queries"], list)
+
+
+def test_predict_endpoint_tiny(server):
+    """/api/predict end-to-end with the tiny grounding config (random
+    weights — the pipeline/schema is the test, as with /api/qa)."""
+    base, mod = server
+    old = mod.GROUNDING_CONFIG
+    mod.GROUNDING_CONFIG = "configs/grounding_vidstg_tiny.yaml"
+    try:
+        status, body = _post(
+            base + "/api/predict", {"video": "demo.mp4", "query": "a square"}
+        )
+    finally:
+        mod.GROUNDING_CONFIG = old
+    assert status == 200
+    assert body["video"]["name"] == "demo.mp4"
+    assert "temporal" in body["result"] and "tube" in body["result"]
+    t = body["result"]["temporal"]
+    assert 0 <= t["start"] <= t["end"]
+    assert len(body["result"]["tube"]) > 0
