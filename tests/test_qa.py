@@ -215,3 +215,38 @@ def test_prompt_template_golden_internvl25():
     # published system message is pinned verbatim
     assert sys_msg.startswith("你是书生·万象")
     assert "InternVL" in sys_msg
+
+
+def test_chunked_prefill_matches_one_shot(tiny_engine):
+    """Chunked long-prompt prefill must produce the same final logits and
+    KV cache as the one-shot prefill."""
+    import jax
+    import jax.numpy as jnp
+
+    from vgqa_tpu.qa.llm import init_kv_cache
+
+    eng = tiny_engine
+    eng.PREFILL_CHUNK = 8  # force several chunks at test scale
+    rng = np.random.RandomState(0)
+    Lp, length = 32, 27  # padded power-of-two bucket, 27 real tokens
+    ids = rng.randint(8, 200, (1, Lp)).astype(np.int32)
+    embeds = eng.embed.apply({"params": eng.params["embed"]}, jnp.asarray(ids))
+
+    S = Lp + 8
+    c1 = init_kv_cache(eng.llm_cfg, 1, S, jnp.float32)
+    last1, c1 = eng._prefill(eng.params, embeds, jnp.asarray(length), c1)
+    c2 = init_kv_cache(eng.llm_cfg, 1, S, jnp.float32)
+    last2, c2 = eng._prefill_chunked_impl(
+        eng.params, embeds, jnp.asarray(length), c2
+    )
+    np.testing.assert_allclose(np.asarray(last1), np.asarray(last2), atol=2e-4)
+    for (k1, v1), (k2, v2) in zip(c1, c2):
+        # compare the filled region (first `length` positions)
+        np.testing.assert_allclose(
+            np.asarray(k1)[:, :, :length], np.asarray(k2)[:, :, :length],
+            atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(v1)[:, :, :length], np.asarray(v2)[:, :, :length],
+            atol=2e-4,
+        )

@@ -59,6 +59,7 @@ def main():
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--max-new", type=int, default=32)
     ap.add_argument("--vit-layers", type=int, default=12)
+    ap.add_argument("--max-seq", type=int, default=8192)
     ap.add_argument("--quant-only", action="store_true",
                     help="skip the bf16 pass (8B-class bf16 exceeds one "
                          "v5e's 16 GB HBM; int8 fits)")
@@ -74,7 +75,7 @@ def main():
     llm_cfg = LLMConfig(
         vocab_size=92553, hidden_size=args.hidden, num_layers=args.layers,
         num_heads=args.heads, num_kv_heads=args.kv_heads,
-        intermediate_size=args.inter, max_seq_len=8192,
+        intermediate_size=args.inter, max_seq_len=args.max_seq,
     )
     vit_cfg = ViTConfig(
         image_size=448, patch_size=14, hidden_size=1024,
@@ -98,7 +99,8 @@ def main():
         # need 4 bytes/param of HBM), then upload the int8 tree
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            engine = QAEngine.init_random(llm_cfg, vit_cfg, dtype=jnp.bfloat16)
+            engine = QAEngine.init_random(llm_cfg, vit_cfg, dtype=jnp.bfloat16,
+                                          max_seq_len=args.max_seq)
             engine.params = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16)
                 if x.dtype == jnp.float32 else x,
@@ -108,7 +110,8 @@ def main():
         dev = jax.devices()[0]
         engine.params = jax.device_put(engine.params, dev)
     else:
-        engine = QAEngine.init_random(llm_cfg, vit_cfg, dtype=jnp.bfloat16)
+        engine = QAEngine.init_random(llm_cfg, vit_cfg, dtype=jnp.bfloat16,
+                                      max_seq_len=args.max_seq)
         engine.params = jax.tree.map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
             engine.params,

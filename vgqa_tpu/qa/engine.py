@@ -102,6 +102,8 @@ class QAEngine:
             lambda p, tiles: self.vision.apply({"params": p["vision"]}, tiles)
         )
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(3,))
+        self._prefill_chunked = jax.jit(self._prefill_chunked_impl,
+                                        donate_argnums=(3,))
         # donate the KV cache so each decode step updates it in place
         self._decode_step = jax.jit(self._decode_impl, donate_argnums=(1,))
         self._greedy_loop = jax.jit(
@@ -159,6 +161,45 @@ class QAEngine:
             filled.append((ck, cv))
         last = logits[jnp.arange(1), length - 1]
         return last, filled
+
+    PREFILL_CHUNK = 1024
+
+    def _prefill_chunked_impl(self, params, embeds, length, cache):
+        """Long-prompt prefill in fixed chunks against the KV cache.
+
+        A one-shot prefill materializes [heads, Lp, Lp] attention logits —
+        34 GB at Lp=16k (the 32-frame production QA prompt is ~8.7k
+        tokens) — so long prompts stream through the cache in
+        ``PREFILL_CHUNK``-sized causal chunks: each chunk writes its kv at
+        offset i*CK and attends over everything written so far, bounding
+        transient logits at [heads, CK, S]."""
+        from .llm_functional import llm_forward
+
+        CK = self.PREFILL_CHUNK
+        Lp = embeds.shape[1]
+        assert Lp % CK == 0, (Lp, CK)
+        S = cache[0][0].shape[2]
+        key_idx = jnp.arange(S)
+        last = None
+        for i in range(Lp // CK):
+            emb_i = jax.lax.dynamic_slice_in_dim(embeds, i * CK, CK, axis=1)
+            pos = (i * CK + jnp.arange(CK))[None]
+            mask = (key_idx[None, None, :] <= pos[:, :, None]) & (
+                key_idx[None, None, :] < length
+            )
+            logits, cache = llm_forward(
+                params["llm"], self.llm_cfg, emb_i, pos, mask,
+                cache=cache, cache_index=i * CK,
+            )
+            # the prompt's final real token lands in exactly one chunk
+            li = jnp.clip(length - 1 - i * CK, 0, CK - 1)
+            cand = logits[0, li][None]
+            if last is None:
+                last = cand
+            else:
+                in_chunk = (length - 1 >= i * CK) & (length - 1 < (i + 1) * CK)
+                last = jnp.where(in_chunk, cand, last)
+        return last, cache
 
     def _decode_impl(self, params, cache, token, position):
         """token [1] int32; position [] int32."""
@@ -317,6 +358,12 @@ class QAEngine:
                 "image tokens per tile)"
             )
         Lp = min(_bucket(length), self.max_seq_len)
+        if Lp > 4 * self.PREFILL_CHUNK:
+            # long prompts take the chunked prefill: bucket at chunk
+            # granularity instead of powers of two (a 8.7k prompt padded
+            # to 16k doubles the KV cache for nothing)
+            CK = self.PREFILL_CHUNK
+            Lp = min(-(-length // CK) * CK, self.max_seq_len)
         max_total = min(self.max_seq_len, Lp + gen.max_new_tokens)
 
         from .llm_functional import embed_tokens
@@ -332,9 +379,16 @@ class QAEngine:
             )
 
         cache = init_kv_cache(self.llm_cfg, 1, max_total, self.dtype)
-        logits, cache = self._prefill(
-            self.params, embeds, jnp.asarray(length), cache
-        )
+        if Lp > 4 * self.PREFILL_CHUNK:
+            # long prompts (e.g. 32-frame QA, ~8.7k tokens): chunked
+            # prefill bounds transient attention logits at [H, CK, S]
+            logits, cache = self._prefill_chunked(
+                self.params, embeds, jnp.asarray(length), cache
+            )
+        else:
+            logits, cache = self._prefill(
+                self.params, embeds, jnp.asarray(length), cache
+            )
 
         tok = self.tokenizer
         if not gen.do_sample or gen.temperature <= 0:
