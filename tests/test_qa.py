@@ -250,3 +250,33 @@ def test_chunked_prefill_matches_one_shot(tiny_engine):
             np.asarray(v1)[:, :, :length], np.asarray(v2)[:, :, :length],
             atol=2e-4,
         )
+
+def test_plan_prefill_chunk_alignment(tiny_engine):
+    """A max_seq_len that is not a PREFILL_CHUNK multiple must never send a
+    non-chunk-aligned Lp down the chunked path (engine.py asserts
+    Lp % CK == 0 at trace time)."""
+    eng = tiny_engine
+    eng.PREFILL_CHUNK = 8
+    eng.max_seq_len = 100  # deliberately not a multiple of 8
+
+    # _bucket's 64 minimum exceeds 4 chunks here, so even short prompts
+    # take the chunked path with chunk-granular padding
+    Lp, chunked = eng._plan_prefill(20)
+    assert (Lp, chunked) == (24, True)
+
+    # long prompt: chunk-granular padding, capped at 96 (100 rounded down)
+    Lp, chunked = eng._plan_prefill(70)
+    assert chunked and Lp == 72 and Lp % 8 == 0
+
+    Lp, chunked = eng._plan_prefill(95)
+    assert chunked and Lp == 96
+
+    # fits only in the unaligned remainder -> one-shot fallback
+    Lp, chunked = eng._plan_prefill(98)
+    assert not chunked and Lp == 100
+
+    for length in range(33, 101):
+        Lp, chunked = eng._plan_prefill(length)
+        assert Lp >= length and Lp <= eng.max_seq_len
+        if chunked:
+            assert Lp % eng.PREFILL_CHUNK == 0

@@ -437,36 +437,22 @@ def fused_block_apply(
     shift: Tuple3,
     num_heads: int,
     interpret: bool = False,
-    true_dims: Optional[Tuple3] = None,
 ) -> jnp.ndarray:
     """One Swin block via the fused kernel; window layout handled here
     (pad/roll/partition are XLA copies that fuse into one pass each way).
-
-    ``true_dims``: when given, ``x`` is a stage-persistent canvas already
-    padded to window multiples and the true extent is (D, H, W)=true_dims;
-    the block skips the per-block pad and returns the PADDED canvas (the
-    caller slices once at stage end). Pad tokens carry stale residuals
-    between blocks, but the kernel re-zeroes them after LN1 every block
-    (the ``valid`` column), which reproduces the XLA path's pad-after-norm
-    zeros exactly — so they never influence real tokens."""
+    The full-backbone serving path (``fused_backbone_apply``) instead calls
+    ``swin_block_canvas`` directly, which keeps the padded canvas resident
+    across a whole stage."""
     from ..ops.pallas.swin_block import swin_block_fused
 
     B, D, H, W, C = x.shape
-    if true_dims is not None:
-        Dt, Ht, Wt = true_dims
-        window, shift = _adjust_window((Dt, Ht, Wt), full_window, shift)
-        Dp, Hp, Wp = D, H, W
-        assert Dp % window[0] == 0 and Hp % window[1] == 0 \
-            and Wp % window[2] == 0, (x.shape, window)
-        h = x
-    else:
-        Dt, Ht, Wt = D, H, W
-        window, shift = _adjust_window((D, H, W), full_window, shift)
-        pad_d = (-D) % window[0]
-        pad_h = (-H) % window[1]
-        pad_w = (-W) % window[2]
-        Dp, Hp, Wp = D + pad_d, H + pad_h, W + pad_w
-        h = jnp.pad(x, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0)))
+    Dt, Ht, Wt = D, H, W
+    window, shift = _adjust_window((D, H, W), full_window, shift)
+    pad_d = (-D) % window[0]
+    pad_h = (-H) % window[1]
+    pad_w = (-W) % window[2]
+    Dp, Hp, Wp = D + pad_d, H + pad_h, W + pad_w
+    h = jnp.pad(x, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0)))
     N = window[0] * window[1] * window[2]
 
     if any(shift):
@@ -498,8 +484,6 @@ def fused_block_apply(
     h = window_reverse(out, window, B, Dp, Hp, Wp)
     if any(shift):
         h = jnp.roll(h, shift=shift, axis=(1, 2, 3))
-    if true_dims is not None:
-        return h                          # caller slices at stage end
     return h[:, :D, :H, :W]
 
 

@@ -201,6 +201,26 @@ class QAEngine:
                 last = jnp.where(in_chunk, cand, last)
         return last, cache
 
+    def _plan_prefill(self, length: int):
+        """Pick the padded prefill length and whether to chunk it.
+
+        Short prompts pad to a power-of-two bucket and prefill one-shot;
+        long prompts (> 4 chunks) pad to chunk granularity and stream
+        through ``_prefill_chunked_impl``, which requires ``Lp`` to be a
+        ``PREFILL_CHUNK`` multiple — so the ``max_seq_len`` cap is rounded
+        DOWN to a chunk multiple, and a prompt that only fits in the
+        unaligned remainder falls back to one-shot prefill."""
+        Lp = min(_bucket(length), self.max_seq_len)
+        chunked = Lp > 4 * self.PREFILL_CHUNK
+        if chunked:
+            CK = self.PREFILL_CHUNK
+            cap = (self.max_seq_len // CK) * CK
+            if length <= cap:
+                Lp = min(-(-length // CK) * CK, cap)
+            else:
+                chunked = False
+        return Lp, chunked
+
     def _decode_impl(self, params, cache, token, position):
         """token [1] int32; position [] int32."""
         from .llm_functional import embed_tokens, llm_forward
@@ -357,13 +377,7 @@ class QAEngine:
                 f"({len(num_patches_list)} frames x {self.num_image_token} "
                 "image tokens per tile)"
             )
-        Lp = min(_bucket(length), self.max_seq_len)
-        if Lp > 4 * self.PREFILL_CHUNK:
-            # long prompts take the chunked prefill: bucket at chunk
-            # granularity instead of powers of two (a 8.7k prompt padded
-            # to 16k doubles the KV cache for nothing)
-            CK = self.PREFILL_CHUNK
-            Lp = min(-(-length // CK) * CK, self.max_seq_len)
+        Lp, chunked = self._plan_prefill(length)
         max_total = min(self.max_seq_len, Lp + gen.max_new_tokens)
 
         from .llm_functional import embed_tokens
@@ -379,7 +393,7 @@ class QAEngine:
             )
 
         cache = init_kv_cache(self.llm_cfg, 1, max_total, self.dtype)
-        if Lp > 4 * self.PREFILL_CHUNK:
+        if chunked:
             # long prompts (e.g. 32-frame QA, ~8.7k tokens): chunked
             # prefill bounds transient attention logits at [H, CK, S]
             logits, cache = self._prefill_chunked(
