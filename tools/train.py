@@ -27,7 +27,12 @@ from vgqa_tpu.config import cfg
 from vgqa_tpu.data.loader import make_data_loader
 from vgqa_tpu.data.metrics import build_evaluator
 from vgqa_tpu.models import build_model, build_weight_dict
-from vgqa_tpu.parallel import batch_sharding, build_mesh
+from vgqa_tpu.parallel import (
+    batch_sharding,
+    build_mesh,
+    initialize_multihost,
+    put_global_batch,
+)
 from vgqa_tpu.training import (
     CheckpointManager,
     create_train_state,
@@ -92,6 +97,21 @@ class Trainer:
                     ),
                 )
                 self.logger.info(f"Warm started from {c.MODEL.WEIGHT}")
+        if jax.process_count() > 1:
+            # every process computed identical host-local state (same seed,
+            # same restore); lift it to globally-replicated jax.Arrays so
+            # the sharded step can consume it together with the
+            # put_global_batch inputs (multi-controller jit rejects arrays
+            # committed to process-local devices)
+            from vgqa_tpu.parallel.mesh import replicated
+
+            rep = replicated(self.mesh)
+            state = jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    rep, np.asarray(x)
+                ),
+                state,
+            )
         self.state = state
 
         ema_decay = c.MODEL.EMA_DECAY if c.MODEL.EMA else None
@@ -130,9 +150,9 @@ class Trainer:
                     jax.profiler.stop_trace()
                     profiling = False
                     self.logger.info(f"Wrote profile to {c.TPU.PROFILE_DIR}")
-            video = jax.device_put(batch["video"], self.batch_shard)
-            text = jax.device_put(batch["text"], self.batch_shard)
-            targets = jax.device_put(batch["targets"], self.batch_shard)
+            video = put_global_batch(batch["video"], self.batch_shard)
+            text = put_global_batch(batch["text"], self.batch_shard)
+            targets = put_global_batch(batch["targets"], self.batch_shard)
             with self.mesh:
                 self.state, metrics = self.step_fn(
                     self.state, video, text, targets, rng
@@ -183,12 +203,32 @@ class Trainer:
     def validate(self):
         c = self.cfg
         evaluator = build_evaluator(c, self.logger, mode="test")
-        loader = make_data_loader(c, "test", global_batch=1)
-        do_eval(c, "test", self.logger, self.model, self.eval_params(),
-                loader, evaluator)
+        # batch eval clips across the dp axis so no device idles during
+        # VAL_PERIOD validation (the reference evaluates on every DDP rank,
+        # /root/reference/vgqa/training/evaluator.py:96-151). Multi-host:
+        # the loader hands each process its slice, which it evaluates on
+        # its OWN devices (per-rank eval like the reference); the metric
+        # merge happens in evaluator.synchronize_between_processes.
+        dp = self.mesh.shape["dp"]
+        loader = make_data_loader(c, "test", global_batch=dp)
+        params = self.eval_params()
+        if jax.process_count() == 1:
+            shard = self.batch_shard
+        else:
+            # per-rank eval: each process drives its OWN devices, so the
+            # dp-replicated global params are re-hosted as local arrays
+            # (requires tp to fit on one host, like the reference's DDP)
+            local = build_mesh(dp=dp // jax.process_count(), tp=1,
+                               devices=jax.local_devices())
+            shard = batch_sharding(local)
+            params = jax.tree.map(
+                lambda x: np.asarray(x.addressable_data(0)), params
+            )
+        return do_eval(c, "test", self.logger, self.model, params,
+                       loader, evaluator, sharding=shard)
 
     def test(self):
-        self.validate()
+        return self.validate()
 
 
 def main():
@@ -198,6 +238,8 @@ def main():
     parser.add_argument("--skip-test", action="store_true")
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
+
+    initialize_multihost()  # before any backend touch
 
     if args.config_file:
         cfg.merge_from_file(args.config_file)

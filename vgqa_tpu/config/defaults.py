@@ -15,6 +15,13 @@ def _input_cfg() -> Cfg:
     c.MAX_VIDEO_LEN = 200
     c.TRAIN_SAMPLE_NUM = 64       # frames per train clip; eval uses 2x
     c.RESOLUTION = 224
+    c.MAX_SIZE = 720              # long-side cap during resize (the reference
+                                  # hardcodes 720, build.py:23)
+    c.CANVAS = [0, 0]             # static letterbox canvas [h, w]:
+                                  # [0, 0] -> RESOLUTION square; e.g.
+                                  # [448, 736] reproduces the reference's full
+                                  # 420px/720-cap content scale (the default
+                                  # square keeps compute at RESOLUTION^2)
     c.PIXEL_MEAN = [0.485, 0.456, 0.406]
     c.PIXEL_STD = [0.229, 0.224, 0.225]
     c.AUG_SCALE = True

@@ -28,6 +28,16 @@ import numpy as np
 
 from .words import clean_description
 
+
+def _atomic_json_dump(obj: Any, path: str) -> None:
+    """Write-then-rename so concurrent readers (other ranks of a multi-host
+    run sharing the data dir) never observe a partially-written cache; a
+    reader that misses the file rebuilds the same content idempotently."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
 EPSILON = 1e-10
 
 
@@ -119,8 +129,7 @@ def make_data_pairs(data_dir: str, split: str) -> Dict[str, Any]:
                 out[str(pair_cnt)] = pair
                 pair_cnt += 1
 
-    with open(merged_path, "w") as f:
-        json.dump(out, f)
+    _atomic_json_dump(out, merged_path)
     return out
 
 
@@ -226,10 +235,8 @@ def load_items(
             for k, v in it.items()
         }
 
-    with open(cache_path, "w") as f:
-        json.dump([jsonable(it) for it in items], f)
-    with open(anno_path, "w") as f:
-        json.dump(annos, f)
+    _atomic_json_dump([jsonable(it) for it in items], cache_path)
+    _atomic_json_dump(annos, anno_path)
     return items
 
 

@@ -75,6 +75,17 @@ def collate(
                 "frame_ids": s.get("frame_ids", list(range(t))),
                 "qtype": s.get("qtype", "none"),
                 "ori_size": s.get("ori_size", (res_h, res_w)),
+                # ori-pixels -> canvas-pixels affine (sx, sy, ox, oy); the
+                # default (frames fill the canvas exactly) reproduces the
+                # plain x*ori rescale for square-stretched inputs
+                "letterbox": [float(v) for v in s["letterbox"]]
+                if s.get("letterbox") is not None
+                else [
+                    res_w / s.get("ori_size", (res_h, res_w))[1],
+                    res_h / s.get("ori_size", (res_h, res_w))[0],
+                    0.0,
+                    0.0,
+                ],
                 "duration": t,
             }
         )

@@ -44,16 +44,21 @@ class VidSTGDataset:
         return len(self.items)
 
     def _load_frames(self, item: Dict[str, Any]) -> np.ndarray:
-        """Selective decode + short-side resize (the reference decodes the
-        whole video then resizes per frame, vidstg_dataset.py:105-141)."""
+        """Selective decode + aspect-preserving short-side pre-resize (the
+        reference decodes the whole video at native resolution then resizes
+        per frame, vidstg_dataset.py:105-141; decoding straight to
+        short-side=RESOLUTION is a bandwidth adaptation — the exact aspect
+        ratio is preserved so every downstream geometric decision,
+        transforms.py, matches the reference's)."""
         res = self.cfg.INPUT.RESOLUTION
-        max_rate = 1.4
         path = os.path.join(self.data_dir, "videos", item["vid"] + ".mp4")
         frames = read_frames(path, item["frame_ids"])
         h, w = frames.shape[1:3]
-        rate = w / h
-        out_w = min(int(res * rate), int(res * max_rate))
-        frames = resize_frames(frames.astype(np.float32) / 255.0, res, out_w)
+        if w >= h:
+            nh, nw = res, max(1, int(round(res * w / h)))
+        else:
+            nh, nw = max(1, int(round(res * h / w))), res
+        frames = resize_frames(frames.astype(np.float32) / 255.0, nh, nw)
         return frames
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
@@ -83,6 +88,9 @@ class VidSTGDataset:
         boxes = np.asarray(item["bboxs"])[bbox_rows].reshape(-1, 4).astype(np.float32)
         ow, oh = item["width"], item["height"]
         boxes = boxes * np.array([fw / ow, fh / oh, fw / ow, fh / oh], np.float32)
+        # ori->frame affine, composed through every transform so eval can
+        # invert predictions exactly back to original video pixels
+        letterbox = np.array([fw / ow, fh / oh, 0.0, 0.0], np.float32)
 
         # subject prepend (grounding_net.py:108-110)
         info = self.meta.get(str(item["item_id"]), {})
@@ -94,6 +102,7 @@ class VidSTGDataset:
             "boxes": boxes,
             "text": text,
             "actioness": actioness.astype(np.float32),
+            "letterbox": letterbox,
         }
         if self.transforms is not None:
             sample = self.transforms(sample)

@@ -35,11 +35,31 @@ class IterationBasedLoader:
         seed: int = 2021,
         num_workers: Optional[int] = None,
         prefetch: Optional[int] = None,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.dataset = dataset
         self.cfg = cfg
         self.split = split
         self.global_batch = global_batch
+        # Multi-host: each process materializes only its slice of every
+        # global batch (DistributedSampler semantics,
+        # /root/reference/vgqa/data/build.py:66-68); the epoch order is a
+        # pure function of (seed, epoch) so all processes agree on the
+        # global index list without communication.
+        if process_index is None or process_count is None:
+            import jax
+
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        if global_batch % process_count != 0:
+            raise ValueError(
+                f"global_batch {global_batch} must divide evenly over "
+                f"{process_count} processes"
+            )
+        self.process_index = process_index
+        self.process_count = process_count
+        self.local_batch = global_batch // process_count
         self.shuffle = shuffle
         n = len(dataset)
         iters_per_epoch = max(1, math.ceil(n / global_batch))
@@ -94,6 +114,9 @@ class IterationBasedLoader:
 
     def _make_batch(self, it: int) -> Dict[str, Any]:
         idxs = self._indices_for_iter(it)
+        # this process's contiguous slice of the global batch
+        lo = self.process_index * self.local_batch
+        idxs = idxs[lo : lo + self.local_batch]
         samples = [self.dataset[i] for i in idxs]
         batch = collate(
             samples,
@@ -165,6 +188,9 @@ def make_data_loader(
         mode,
         global_batch,
         shuffle=is_train and cfg.SOLVER.SHUFFLE,
-        total_iters=None if is_train else len(dataset),
+        # eval walks the split exactly once; the last batch wraps around to
+        # the front, which is harmless because the evaluator dedupes by
+        # item id (duplicate predictions overwrite identically)
+        total_iters=None if is_train else math.ceil(len(dataset) / global_batch),
         start_iter=start_iter if is_train else 0,
     )

@@ -1,22 +1,32 @@
 """Host-side video/box/text augmentation pipeline (numpy + OpenCV).
 
-Functional parity with /root/reference/vgqa/data/transforms.py:11-213 and the
-builder at /root/reference/vgqa/data/build.py:20-57, re-designed for a
-static-shape TPU feed: every train sample ends on a fixed square canvas
-(``NormalizeAndPad`` semantics, transforms.py:177-213) so the jitted step
-compiles once, instead of the reference's variable-H/W batches.
+Geometry parity with /root/reference/vgqa/data/transforms.py:11-213 and the
+builder at /root/reference/vgqa/data/build.py:20-57: the pre-canvas pipeline
+(flip, resize ladder, size crop, 720 long-side cap) reproduces the
+reference's random geometry decision-for-decision (tests/test_aug_geometry.py
+drives the actual reference modules against this file). The final
+``NormalizeAndPad`` is the TPU static-shape adaptation: instead of the
+reference's variable-H/W NestedTensor batches, every sample is uniformly
+scaled to fit a fixed canvas and letterboxed, so the jitted step compiles
+once. The ori->canvas affine is tracked in ``sample["letterbox"]`` so
+evaluation can invert predictions exactly back to original video pixels.
 
 A sample dict carries:
   frames:    [T, H, W, 3] float32 in [0, 1]
   boxes:     [Tb, 4] xyxy pixel coords (aligned to GT-span frames)
   text:      str
   actioness: [T] float
+  letterbox: [4] float (sx, sy, ox, oy): x_cur = x_ori * sx + ox — the
+             affine from ORIGINAL video pixels to current frame pixels
+             (initialized by the dataset's decode-time resize; maintained
+             by every geometric transform below; crops/flips make it
+             span-local but eval never crops/flips)
 """
 
 from __future__ import annotations
 
 import random
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import cv2
 import numpy as np
@@ -27,6 +37,19 @@ def resize_frames(frames: np.ndarray, h: int, w: int) -> np.ndarray:
     for i, f in enumerate(frames):
         out[i] = cv2.resize(f, (w, h), interpolation=cv2.INTER_LINEAR)
     return out
+
+
+def _update_letterbox(sample: Dict, sx: float, sy: float,
+                      ox: float, oy: float) -> None:
+    """Compose (x,y) -> (x*sx+ox, y*sy+oy) onto the tracked ori->frame
+    affine, in place. No-op when the dataset didn't initialize one."""
+    lb = sample.get("letterbox")
+    if lb is None:
+        return
+    sample["letterbox"] = np.array(
+        [lb[0] * sx, lb[1] * sy, lb[2] * sx + ox, lb[3] * sy + oy],
+        np.float32,
+    )
 
 
 class Compose:
@@ -60,6 +83,7 @@ class RandomHorizontalFlip:
                 .replace("*&^special^&*", "left")
             )
             sample = {**sample, "frames": frames, "boxes": boxes, "text": text}
+            _update_letterbox(sample, -1.0, 1.0, float(w), 0.0)
         return sample
 
 
@@ -100,12 +124,19 @@ class RandomResize:
         boxes = sample["boxes"] * np.array(
             [nw / w, nh / h, nw / w, nh / h], np.float32
         )
-        return {**sample, "frames": frames, "boxes": boxes}
+        sample = {**sample, "frames": frames, "boxes": boxes}
+        _update_letterbox(sample, nw / w, nh / h, 0.0, 0.0)
+        return sample
 
 
 class RandomSizeCrop:
     """Crop retrying until no box degenerates
-    (parity with transforms.py:134-158)."""
+    (parity with transforms.py:134-158: tw,th ~ randint(min_size,
+    min(dim, max_size)), top/left uniform, 50 tries, give up -> unchanged).
+    The min()/max() juggling keeps randint bounds valid for debug inputs
+    smaller than ``min_size``; for reference-sized inputs (>= min_size, the
+    only case the reference can see) it reduces to the reference's exact
+    bounds AND consumes the same RNG sequence."""
 
     def __init__(self, min_size: int, max_size: int, max_try: int = 50, rng=None):
         self.min_size, self.max_size, self.max_try = min_size, max_size, max_try
@@ -123,46 +154,67 @@ class RandomSizeCrop:
             nb[:, [0, 2]] = np.clip(nb[:, [0, 2]] - left, 0, tw)
             nb[:, [1, 3]] = np.clip(nb[:, [1, 3]] - top, 0, th)
             if ((nb[:, 2] > nb[:, 0]) & (nb[:, 3] > nb[:, 1])).all():
-                return {
+                sample = {
                     **sample,
                     "frames": frames[:, top : top + th, left : left + tw].copy(),
                     "boxes": nb,
                 }
+                _update_letterbox(sample, 1.0, 1.0, -float(left), -float(top))
+                return sample
         return sample
 
 
 class NormalizeAndPad:
-    """ImageNet-normalize, letterbox onto a square canvas, convert boxes to
-    normalized cxcywh (parity with Normalize + NormalizeAndPad,
-    transforms.py:161-213). Emits ``pixel_mask`` True=valid."""
+    """ImageNet-normalize, uniformly scale to fit, letterbox onto a static
+    canvas, convert boxes to normalized cxcywh.
 
-    def __init__(self, mean, std, size: int, aug_translate: bool = False, rng=None):
+    TPU static-shape adaptation of the reference pipeline tail: the
+    reference emits variable-size frames (train: Normalize only,
+    build.py:46; its own NormalizeAndPad, transforms.py:177-213, asserts
+    the frame already fits). Here frames larger than the canvas are
+    uniformly downscaled first (content composition — crops, aspect,
+    flip — is unchanged; only the final render scale adapts), then padded.
+    Emits ``pixel_mask`` True=valid and finalizes ``letterbox``."""
+
+    def __init__(self, mean, std, size, aug_translate: bool = False, rng=None):
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
-        self.size = size
+        self.ch, self.cw = (size, size) if isinstance(size, int) else tuple(size)
         self.aug_translate = aug_translate
         self.rng = rng or random
 
     def __call__(self, sample: Dict) -> Dict:
-        frames = (sample["frames"] - self.mean) / self.std
+        frames = sample["frames"]
+        boxes = sample["boxes"]
         t, h, w = frames.shape[:3]
-        assert h <= self.size and w <= self.size, (h, w, self.size)
-        dh, dw = self.size - h, self.size - w
+        if h > self.ch or w > self.cw:
+            s = min(self.ch / h, self.cw / w)
+            nh, nw = min(self.ch, int(round(h * s))), min(self.cw, int(round(w * s)))
+            frames = resize_frames(frames, nh, nw)
+            boxes = boxes * np.array(
+                [nw / w, nh / h, nw / w, nh / h], np.float32
+            )
+            _update_letterbox(sample, nw / w, nh / h, 0.0, 0.0)
+            h, w = nh, nw
+
+        frames = (frames - self.mean) / self.std
+        dh, dw = self.ch - h, self.cw - w
         if self.aug_translate:
             top, left = self.rng.randint(0, dh), self.rng.randint(0, dw)
         else:
             top, left = round(dh / 2.0 - 0.1), round(dw / 2.0 - 0.1)
 
-        out = np.zeros((t, self.size, self.size, 3), np.float32)
-        mask = np.zeros((self.size, self.size), bool)
+        out = np.zeros((t, self.ch, self.cw, 3), np.float32)
+        mask = np.zeros((self.ch, self.cw), bool)
         out[:, top : top + h, left : left + w] = frames
         mask[top : top + h, left : left + w] = True
+        _update_letterbox(sample, 1.0, 1.0, float(left), float(top))
 
-        boxes = sample["boxes"] + np.array([left, top, left, top], np.float32)
-        cx = (boxes[:, 0] + boxes[:, 2]) / 2 / self.size
-        cy = (boxes[:, 1] + boxes[:, 3]) / 2 / self.size
-        bw = (boxes[:, 2] - boxes[:, 0]) / self.size
-        bh = (boxes[:, 3] - boxes[:, 1]) / self.size
+        boxes = boxes + np.array([left, top, left, top], np.float32)
+        cx = (boxes[:, 0] + boxes[:, 2]) / 2 / self.cw
+        cy = (boxes[:, 1] + boxes[:, 3]) / 2 / self.ch
+        bw = (boxes[:, 2] - boxes[:, 0]) / self.cw
+        bh = (boxes[:, 3] - boxes[:, 1]) / self.ch
         norm_boxes = np.stack([cx, cy, bw, bh], axis=1)
         return {
             **sample,
@@ -172,41 +224,52 @@ class NormalizeAndPad:
         }
 
 
-def build_transforms(cfg, is_train: bool, rng=None) -> Compose:
-    """Parity with /root/reference/vgqa/data/build.py:20-57, with a final
-    pad-to-canvas so shapes are static. The canvas is the configured
-    resolution (short-side target); crops/resizes never exceed it."""
+def canvas_hw(cfg) -> Tuple[int, int]:
+    """The static canvas (h, w): ``INPUT.CANVAS`` or RESOLUTION square."""
+    ch, cw = cfg.INPUT.CANVAS
     res = cfg.INPUT.RESOLUTION
-    mean, std = cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD
+    return (ch or res, cw or res)
+
+
+def build_pre_canvas_transforms(cfg, is_train: bool, rng=None) -> List:
+    """The reference-exact geometric pipeline, before the canvas step.
+
+    Parity with /root/reference/vgqa/data/build.py:20-57: short-side
+    candidates ``[RESOLUTION - 32*i for i in range(4)]`` under a 720
+    long-side cap (INPUT.MAX_SIZE), and the absolute
+    RandomResize([400,500,600]) -> RandomSizeCrop(384,600) crop branch.
+    tests/test_aug_geometry.py golden-checks this against the reference
+    modules themselves."""
+    res = cfg.INPUT.RESOLUTION
+    max_size = cfg.INPUT.MAX_SIZE
     if not is_train:
-        return Compose(
-            [
-                RandomResize([res], max_size=res, rng=rng),
-                NormalizeAndPad(mean, std, res, rng=rng),
-            ]
-        )
+        return [RandomResize([res], max_size=max_size, rng=rng)]
     if cfg.INPUT.AUG_SCALE:
-        # ladder of short-side targets (build.py:29); keep positive for
-        # small debug resolutions
+        # reference build.py:29; keep positive for small debug resolutions
         sizes = [s for s in (res - 32 * i for i in range(4)) if s >= 32] or [res]
     else:
         sizes = [res]
-    return Compose(
-        [
-            RandomHorizontalFlip(cfg.INPUT.FLIP_PROB_TRAIN, rng=rng),
-            RandomSelect(
-                RandomResize(sizes, max_size=res, rng=rng),
-                Compose(
-                    [
-                        RandomResize([int(res * 0.95), int(res * 1.2), int(res * 1.4)], rng=rng),
-                        RandomSizeCrop(
-                            int(res * 0.9), int(res * 1.4), rng=rng
-                        ),
-                        RandomResize(sizes, max_size=res, rng=rng),
-                    ]
-                ),
-                rng=rng,
+    return [
+        RandomHorizontalFlip(cfg.INPUT.FLIP_PROB_TRAIN, rng=rng),
+        RandomSelect(
+            RandomResize(sizes, max_size=max_size, rng=rng),
+            Compose(
+                [
+                    RandomResize([400, 500, 600], rng=rng),
+                    RandomSizeCrop(384, 600, rng=rng),
+                    RandomResize(sizes, max_size=max_size, rng=rng),
+                ]
             ),
-            NormalizeAndPad(mean, std, res, cfg.INPUT.AUG_TRANSLATE, rng=rng),
-        ]
+            rng=rng,
+        ),
+    ]
+
+
+def build_transforms(cfg, is_train: bool, rng=None) -> Compose:
+    """Reference-exact pre-canvas geometry + static-canvas letterbox tail."""
+    mean, std = cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD
+    pre = build_pre_canvas_transforms(cfg, is_train, rng=rng)
+    aug_translate = bool(is_train and cfg.INPUT.AUG_TRANSLATE)
+    return Compose(
+        pre + [NormalizeAndPad(mean, std, canvas_hw(cfg), aug_translate, rng=rng)]
     )

@@ -97,11 +97,12 @@ def _load_model(config_path: str, ckpt_path: str):
     std = jnp.asarray(cfg.INPUT.PIXEL_STD, jnp.float32)
 
     @jax.jit
-    def fwd_u8(params, video: VideoBatch, text: TextBatch, ori_sizes):
+    def fwd_u8(params, video: VideoBatch, text: TextBatch, ori_sizes,
+               letterbox):
         frames = (video.frames.astype(jnp.float32) / 255.0 - mean) / std
         video = VideoBatch(frames.astype(dtype), video.pixel_mask,
                            video.time_mask)
-        return fwd(params, video, text, ori_sizes)
+        return fwd(params, video, text, ori_sizes, letterbox)
 
     return cfg, model, params, tokenizer, fwd_u8
 

@@ -25,13 +25,29 @@ def postprocess(
     pred_sted: jnp.ndarray,    # [V, T, 2] logits
     target_sizes: jnp.ndarray,  # [V, 2] (h, w) original pixels
     time_mask: jnp.ndarray,    # [V, T] bool
+    letterbox: jnp.ndarray | None = None,  # [V, 4] (sx, sy, ox, oy)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (boxes_xyxy [V, T, 4], start_idx [V], end_idx [V])."""
+    """Returns (boxes_xyxy [V, T, 4], start_idx [V], end_idx [V]).
+
+    ``letterbox`` inverts the static-canvas letterbox the data pipeline
+    applied: normalized canvas coord ``n`` maps back to original pixels as
+    ``(n - o) / s`` per axis (the reference's plain ``n * ori`` rescale,
+    postprocessor.py:27-35, is exact only for its unpadded variable-size
+    frames; with a letterboxed canvas the pad offset and content scale must
+    come out first). ``None`` keeps the plain rescale — correct for the
+    square-stretched ``predict()`` serving path."""
     boxes = box_cxcywh_to_xyxy(pred_boxes)
     h = target_sizes[:, 0:1]
     w = target_sizes[:, 1:2]
-    scale = jnp.concatenate([w, h, w, h], axis=-1)[:, None, :]
-    boxes = jnp.clip(boxes * scale, 0.0)
+    if letterbox is not None:
+        s = letterbox[:, None, [0, 1, 0, 1]]
+        o = letterbox[:, None, [2, 3, 2, 3]]
+        upper = jnp.concatenate([w, h, w, h], axis=-1)[:, None, :]
+        boxes = jnp.clip((boxes - o) / s, 0.0, upper)
+    else:
+        # reference parity: clamp(min=0) only (postprocessor.py:23)
+        scale = jnp.concatenate([w, h, w, h], axis=-1)[:, None, :]
+        boxes = jnp.clip(boxes * scale, 0.0)
 
     V, T, _ = pred_sted.shape
     sted = jnp.where(time_mask[..., None], pred_sted.astype(jnp.float32), NEG)

@@ -21,9 +21,73 @@ import jax
 def initialize_multihost() -> None:
     """Initialize JAX's distributed runtime when launched on a multi-host
     pod (env-driven, like the reference's env:// init at tools/train.py:382).
-    Safe to call on single-host."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
-        jax.distributed.initialize()
+
+    MUST be called before any backend touch (``jax.devices()``,
+    ``jax.process_count()``, any computation) — probing the backend first
+    would finalize a single-process runtime. Safe to call on single-host
+    (no env vars -> no-op; TPU pods auto-detect with a bare
+    ``jax.distributed.initialize()``).
+
+    Env contract (mirrors ``torchrun``'s env:// rendezvous):
+      VGQA_COORDINATOR  host:port of process 0
+      VGQA_NUM_PROCESSES / VGQA_PROCESS_ID
+    CPU meshes additionally need gloo collectives, selected here."""
+    coord = os.environ.get("VGQA_COORDINATOR")
+    if not coord:
+        return
+    nproc = int(os.environ["VGQA_NUM_PROCESSES"])
+    pid = int(os.environ["VGQA_PROCESS_ID"])
+    if jax.config.jax_platforms == "cpu" or \
+            os.environ.get("VGQA_PLATFORM") == "cpu":
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(coord, num_processes=nproc, process_id=pid)
+    _warm_all_device_communicator()
+
+
+def _warm_all_device_communicator() -> None:
+    """Establish the ALL-devices collective context immediately after the
+    rendezvous, while every process is synchronized to within milliseconds.
+
+    Context initialization inside the first collective has a hard 30 s
+    peer-exchange timeout (gloo GetKeyValue), and the first natural
+    all-device collective is the sharded train step — which ranks can
+    reach minutes apart (compile-time skew). Contexts are cached per
+    device SET on the backend client, so this must psum across the exact
+    global device set (``sync_global_devices`` only warms a per-process
+    communicator, which does not cover the step's)."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if jax.process_count() <= 1:
+        return
+    mesh = Mesh(np.array(jax.devices()), ("all",))
+    sh = NamedSharding(mesh, P("all"))
+    local = np.ones(len(jax.local_devices()), np.float32)
+    garr = jax.make_array_from_process_local_data(sh, local)
+    total = jax.jit(lambda x: x.sum(),
+                    out_shardings=NamedSharding(mesh, P()))(garr)
+    np.asarray(total)  # block until the all-reduce ran
+
+
+def put_global_batch(tree: Any, sharding) -> Any:
+    """Assemble a globally-sharded batch from each process's local slice.
+
+    Single-process: a plain ``device_put`` (every shard is addressable).
+    Multi-process: each process holds only its ``IterationBasedLoader``
+    slice, so leaves are stitched into global ``jax.Array``s with
+    ``make_array_from_process_local_data`` — the replacement for the
+    reference's per-rank ``.cuda()`` upload (tools/train.py:201-216),
+    which only ever sees rank-local tensors."""
+    import numpy as np
+
+    if jax.process_count() <= 1:
+        return jax.device_put(tree, sharding)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        tree,
+    )
 
 
 def get_world_size() -> int:

@@ -66,10 +66,11 @@ def make_eval_forward(model):
     [V, T, 6] tensor and the span indices as one [V, 2] tensor."""
 
     @jax.jit
-    def fwd(params, video: VideoBatch, text: TextBatch, ori_sizes):
+    def fwd(params, video: VideoBatch, text: TextBatch, ori_sizes, letterbox):
         out = model.apply(params, video, text, train=False)
         boxes, s_idx, e_idx = postprocess(
-            out["pred_boxes"], out["pred_sted"], ori_sizes, video.time_mask
+            out["pred_boxes"], out["pred_sted"], ori_sizes, video.time_mask,
+            letterbox=letterbox,
         )
         packed = jnp.concatenate(
             [
@@ -94,7 +95,15 @@ def single_forward(
     import jax.numpy as jnp
 
     ori = jnp.asarray([list(i["ori_size"]) for i in infos], jnp.float32)
-    packed_dev, span_dev = fwd(params, video, text, ori)
+    # fold the static canvas dims into the ori->canvas-pixel affine so the
+    # device-side inversion works on normalized coords directly
+    ch, cw = video.frames.shape[2], video.frames.shape[3]
+    lb = np.asarray(
+        [i.get("letterbox", [cw / i["ori_size"][1], ch / i["ori_size"][0], 0.0, 0.0])
+         for i in infos], np.float32,
+    )
+    lb = lb / np.array([cw, ch, cw, ch], np.float32)
+    packed_dev, span_dev = fwd(params, video, text, ori, jnp.asarray(lb))
     packed = np.asarray(packed_dev)
     span = np.asarray(span_dev)
     boxes = packed[..., :4]
@@ -120,8 +129,14 @@ def single_forward(
     return bbox_pred, att_pred, temp_pred, kf_pred
 
 
-def do_eval(cfg, mode, logger, model, params, data_loader, evaluator):
-    """Parity with do_eval (evaluator.py:96-151)."""
+def do_eval(cfg, mode, logger, model, params, data_loader, evaluator,
+            sharding=None):
+    """Parity with do_eval (evaluator.py:96-151).
+
+    ``sharding``: optional NamedSharding for the batch leaves — an eval
+    loader built with ``global_batch=dp`` then spreads test clips across
+    the data axis so no device idles during validation (the reference
+    evaluates on every DDP rank)."""
     if logger:
         logger.info(f"Start evaluation on the {mode} split of {cfg.DATASET.NAME}")
     fwd = make_eval_forward(model)
@@ -131,6 +146,9 @@ def do_eval(cfg, mode, logger, model, params, data_loader, evaluator):
         text: TextBatch = batch["text"]
         infos = batch["info"]
         act = np.asarray(batch["targets"]["actioness"])
+        if sharding is not None:
+            video = jax.device_put(video, sharding)
+            text = jax.device_put(text, sharding)
 
         halves = []
         for start in (0, 1):

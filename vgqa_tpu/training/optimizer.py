@@ -133,7 +133,19 @@ def make_optimizer(
     transforms = {g: group_tx(g) for g in GROUPS}
     tx = optax.multi_transform(transforms, labels)
     if s.MAX_GRAD_NORM > 0:
-        tx = optax.chain(optax.clip_by_global_norm(s.MAX_GRAD_NORM), tx)
+        # Clip over TRAINABLE leaves only. torch's clip_grad_norm_ skips
+        # params whose .grad is None, and frozen params (requires_grad
+        # False, backbone.py:70-77) never get one — so the reference norm
+        # never sees frozen grads. Masking here restores that semantic AND
+        # lets XLA dead-code-eliminate the entire frozen backward (the
+        # full-tree norm was the only consumer of e.g. the frozen Video
+        # Swin tower's gradients — worth ~100+ ms/step at 64f@420).
+        trainable = jax.tree.map(lambda g: g != "frozen", labels)
+        tx = optax.chain(
+            optax.masked(optax.clip_by_global_norm(s.MAX_GRAD_NORM),
+                         trainable),
+            tx,
+        )
     return tx, labels
 
 
