@@ -181,3 +181,76 @@ def test_fused_backbone_row_batched_grid():
         np.testing.assert_allclose(
             np.asarray(out_f[k]), np.asarray(out_m[k]), atol=1e-4, rtol=1e-3
         )
+
+
+def test_fused_backbone_drop_path_gates():
+    """Per-sample stochastic-depth gates inside the canvas kernel: all-ones
+    gates reproduce the deterministic forward exactly; zero gates on every
+    block make each block an identity (output == patch-embed features), the
+    limiting DropPath semantic (vgqa_tpu frozen-train path; the reference
+    keeps DropPath active in its frozen tower, grounding_net.py:73-75)."""
+    from vgqa_tpu.models.video_swin import (
+        VideoSwinBackbone,
+        VideoSwinConfig,
+        fused_backbone_apply,
+    )
+
+    cfg = VideoSwinConfig.tiny_test()
+    model = VideoSwinBackbone(cfg)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 3, 20, 12, 3).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    total = sum(cfg.depths)
+
+    base = fused_backbone_apply(params["params"], x, cfg, interpret=True)
+    ones = jnp.ones((total, 2, 2), jnp.float32)
+    gated = fused_backbone_apply(
+        params["params"], x, cfg, interpret=True, drop_path_gates=ones
+    )
+    for k in base:
+        np.testing.assert_allclose(
+            np.asarray(gated[k]), np.asarray(base[k]), atol=1e-5, rtol=1e-5
+        )
+
+    # zero gates: every block's two residual branches are dropped, so the
+    # whole stage-0 output equals its input (patch embed + LN only)
+    zeros = jnp.zeros((total, 2, 2), jnp.float32)
+    dropped = fused_backbone_apply(
+        params["params"], x, cfg, interpret=True, drop_path_gates=zeros
+    )
+    # recompute the patch-embed features (stage-0 input) independently
+    import vgqa_tpu.models.video_swin as vs
+
+    pd, ph, pw = cfg.patch_size
+    B, T, H, W, _ = x.shape
+    gh, gw = H // ph, W // pw
+    patches = x.reshape(B, T, gh, ph, gw, pw, 3)
+    patches = patches.transpose(0, 1, 2, 4, 3, 5, 6)
+    patches = patches.reshape(B, T, gh, gw, ph * pw * 3)
+    emb = (
+        jnp.einsum(
+            "bthwp,pc->bthwc", patches,
+            params["params"]["patch_embed_kernel"].reshape(
+                ph * pw * 3, cfg.embed_dim
+            ),
+        )
+        + params["params"]["patch_embed_bias"]
+    )
+    if cfg.patch_norm:
+        emb = vs._ln_apply(emb, params["params"]["patch_norm"])
+    np.testing.assert_allclose(
+        np.asarray(dropped["0"]), np.asarray(emb), atol=1e-4, rtol=1e-3
+    )
+
+    # per-sample independence: gating only sample 0 leaves sample 1's
+    # output identical to the ungated forward
+    mixed = ones.at[:, 0, :].set(0.0)
+    half = fused_backbone_apply(
+        params["params"], x, cfg, interpret=True, drop_path_gates=mixed
+    )
+    for k in base:
+        np.testing.assert_allclose(
+            np.asarray(half[k][1]), np.asarray(base[k][1]),
+            atol=1e-5, rtol=1e-5,
+        )
+        assert not np.allclose(np.asarray(half[k][0]), np.asarray(base[k][0]))

@@ -500,11 +500,17 @@ def fused_backbone_apply(
     frames: jnp.ndarray,       # [B, T, H, W, 3]
     cfg: VideoSwinConfig,
     interpret: bool = False,
+    drop_path_gates: Optional[jnp.ndarray] = None,  # [total_blocks, B, 2]
 ) -> Dict[str, jnp.ndarray]:
-    """Inference-mode backbone forward over the fused block kernel.
+    """Backbone forward over the fused block kernel; consumes the flax
+    module's own parameter tree.
 
-    Mirrors VideoSwinBackbone.__call__ (deterministic) op-for-op; consumes
-    the module's own parameter tree."""
+    Deterministic (``drop_path_gates=None``) mirrors
+    VideoSwinBackbone.__call__ op-for-op. With gates, each block applies
+    per-sample stochastic-depth branch scaling (0 or 1/keep, sampled by the
+    caller) — the TRAINING forward for a frozen tower, where the reference
+    keeps DropPath active but takes no gradients
+    (video_swin_transformer.py:195 + grounding_net.py:73-75)."""
     from ..ops.pallas.swin_block import swin_block_canvas
 
     c = cfg
@@ -528,6 +534,7 @@ def fused_backbone_apply(
         x = _ln_apply(x, params["patch_norm"])
 
     out: Dict[str, jnp.ndarray] = {}
+    blk_base = 0
     for stage, depth in enumerate(c.depths):
         dim = c.embed_dim * 2**stage
         # pad ONCE per stage to window multiples and keep the canvas padded
@@ -569,12 +576,16 @@ def fused_backbone_apply(
                 p["mlp_fc1"]["kernel"], p["mlp_fc1"]["bias"],
                 p["mlp_fc2"]["kernel"], p["mlp_fc2"]["bias"],
                 bias, c.num_heads[stage], window, rel,
-                region=region, valid=valid, interpret=interpret,
+                region=region, valid=valid,
+                gates=(None if drop_path_gates is None
+                       else drop_path_gates[blk_base + b]),
+                interpret=interpret,
             )
             frame = shift
         if any(frame):
             x = jnp.roll(x, shift=frame, axis=(1, 2, 3))
         x = x[:, :D_, :H_, :W_]
+        blk_base += depth
         out[str(stage)] = x
         if stage < len(c.depths) - 1:
             p = params[f"downsample{stage}"]

@@ -26,6 +26,7 @@ from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..ops.position_encoding import sine_position_2d, sine_position_hw_2d
@@ -196,20 +197,39 @@ class VSTGNet(nn.Module):
             interpret = _os.environ.get("VGQA_PALLAS_INTERPRET") == "1"
             if (
                 c.use_pallas_attention
-                and deterministic
+                and (deterministic or c.freeze_swin)
                 and not self.is_initializing()
                 and (jax.default_backend() == "tpu" or interpret)
             ):
-                # serving path: fused Pallas megakernel per Swin block
-                # (same param tree; the flax module stays the
-                # differentiable/training path). VGQA_PALLAS_INTERPRET=1
-                # runs the same kernels in interpret mode for CPU parity
-                # testing of the exact serving path.
+                # fused Pallas megakernel per Swin block (same param tree;
+                # the flax module remains the differentiable fallback).
+                # Serving runs it deterministic; TRAINING also routes here
+                # when the tower is frozen — the reference keeps its frozen
+                # Swin in train mode under no_grad (grounding_net.py:73-75,
+                # 103-105), so only stochastic depth differs from eval, and
+                # the per-sample DropPath branch gates are sampled out here
+                # and applied inside the kernel (no VJP needed: the output
+                # is stop_gradient'ed below). VGQA_PALLAS_INTERPRET=1 runs
+                # the same kernels in interpret mode for CPU parity tests.
                 from .video_swin import fused_backbone_apply
 
+                gates = None
+                scfg = self.vid.cfg
+                if not deterministic and scfg.drop_path_rate > 0:
+                    total = sum(scfg.depths)
+                    dpr = np.linspace(0.0, scfg.drop_path_rate, total)
+                    keep = jnp.asarray(1.0 - dpr, jnp.float32)[:, None, None]
+                    bern = jax.random.bernoulli(
+                        self.make_rng("dropout"), keep, (total, V, 2)
+                    )
+                    gates = bern.astype(jnp.float32) / keep
+                # stop_gradient on the INPUTS (not just the output): the
+                # kernel has no JVP rule, and linearization would otherwise
+                # trace tangents into it even though the tower is frozen
                 swin_out = fused_backbone_apply(
-                    self.vid.variables["params"], video.frames, self.vid.cfg,
-                    interpret=interpret,
+                    jax.lax.stop_gradient(self.vid.variables["params"]),
+                    jax.lax.stop_gradient(video.frames), scfg,
+                    interpret=interpret, drop_path_gates=gates,
                 )[last_stage]
             else:
                 swin_out = self.vid(video.frames, deterministic)[last_stage]

@@ -98,12 +98,20 @@ def _make_ln(ones, C):
 
 
 def _tail(xx, attn, wp_ref, bp_ref, g2_ref, b2_ref, w1_ref, bf1_ref,
-          w2_ref, bf2_ref, ln, out_dtype):
-    """proj -> residual -> LN2 -> MLP(GELU) -> residual; returns [G*N, C]."""
+          w2_ref, bf2_ref, ln, out_dtype, gates=None):
+    """proj -> residual -> LN2 -> MLP(GELU) -> residual; returns [G*N, C].
+
+    ``gates``: optional (g1, g2) per-sample DropPath branch gates (0 or
+    1/keep) — the frozen-backbone TRAINING path runs this same kernel with
+    stochastic-depth gates sampled outside (reference keeps DropPath active
+    in its frozen Swin: requires_grad is off but the module stays in train
+    mode, grounding_net.py:73-75)."""
     proj = jax.lax.dot_general(
         attn, wp_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(xx.dtype) + bp_ref[0].astype(xx.dtype)
+    if gates is not None:
+        proj = proj * gates[0].astype(xx.dtype)
     x1 = xx + proj                    # compute-dtype residual (as XLA path)
 
     h2 = ln(x1, g2_ref[0], b2_ref[0]).astype(xx.dtype)
@@ -116,13 +124,15 @@ def _tail(xx, attn, wp_ref, bp_ref, g2_ref, b2_ref, w1_ref, bf1_ref,
         f, w2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(xx.dtype) + bf2_ref[0].astype(xx.dtype)
+    if gates is not None:
+        f = f * gates[1].astype(xx.dtype)
     return (x1 + f).astype(out_dtype)
 
 
 def _compute_block(xx, valid, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wp_ref,
                    bp_ref, g2_ref, b2_ref, w1_ref, bf1_ref, w2_ref, bf2_ref,
                    bias_ref, region_rows, ones_ref, out_dtype, *,
-                   num_heads: int, G: int, N: int, C: int):
+                   num_heads: int, G: int, N: int, C: int, gates=None):
     """Whole-block compute on assembled tokens xx [G*N, C]; returns the
     block output [G*N, C] in ``out_dtype``.
 
@@ -181,7 +191,7 @@ def _compute_block(xx, valid, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wp_ref,
     attn = jnp.concatenate(wouts, axis=0)                    # [G*N, C]
 
     return _tail(xx, attn, wp_ref, bp_ref, g2_ref, b2_ref, w1_ref, bf1_ref,
-                 w2_ref, bf2_ref, ln, out_dtype)
+                 w2_ref, bf2_ref, ln, out_dtype, gates=gates)
 
 
 def _body_sliced(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
@@ -306,7 +316,7 @@ def swin_block_fused(
 def _body_canvas(*refs, num_heads: int, N: int, C: int,
                  window, nww: int, wp: int, t: tuple, R: int,
                  nd_refs: int, nh_refs: int, has_region: bool,
-                 has_valid: bool):
+                 has_valid: bool, has_gates: bool = False):
     """Assemble -> compute -> scatter for one stripe of R window-rows
     (late stages have few windows per row; batching R rows per grid step
     keeps DMAs large and amortizes per-step overhead)."""
@@ -325,6 +335,8 @@ def _body_canvas(*refs, num_heads: int, N: int, C: int,
     i += has_region
     valid_ref = refs[i] if has_valid else None
     i += has_valid
+    gates_ref = refs[i] if has_gates else None
+    i += has_gates
     ones_ref = refs[i]
     o_ref = refs[i + 1]
 
@@ -354,12 +366,15 @@ def _body_canvas(*refs, num_heads: int, N: int, C: int,
 
     valid = (valid_ref[0, 0].astype(jnp.float32)
              if valid_ref is not None else None)             # [G*N, 1]
+    gates = ((gates_ref[0, 0], gates_ref[0, 1])
+             if gates_ref is not None else None)
     out = _compute_block(
         xx, valid, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
         g2_ref, b2_ref, w1_ref, bf1_ref, w2_ref, bf2_ref, bias_ref,
         (lambda g: region_ref[0, 0, g]) if region_ref is not None
         else (lambda g: None),
         ones_ref, o_ref.dtype, num_heads=num_heads, G=R * nww, N=N, C=C,
+        gates=gates,
     )
     for r in range(R):
         for w in range(nww):
@@ -383,6 +398,8 @@ def swin_block_canvas(
                                          #   (-rd,-rh,-rw)); out stays rolled
     region: Optional[jnp.ndarray] = None,  # [nW, N] ids in the rolled frame
     valid: Optional[jnp.ndarray] = None,   # [nW, N] 1=real in rolled frame
+    gates: Optional[jnp.ndarray] = None,   # [B, 2] per-sample DropPath
+                                           # branch gates (0 or 1/keep)
     interpret: bool = False,
 ) -> jnp.ndarray:
     B, Dp, Hp, Wp, C = canvas.shape
@@ -469,6 +486,12 @@ def swin_block_canvas(
                                   lambda v, a, b: (a, b, 0, 0),
                                   memory_space=pltpu.VMEM))
 
+    if gates is not None:
+        gates = gates.astype(jnp.float32)
+        args.append(gates)
+        specs.append(pl.BlockSpec((1, 2), lambda v, a, b: (v, 0),
+                                  memory_space=pltpu.VMEM))
+
     ones = jnp.ones((C, 1), jnp.float32)
     args.append(ones)
     specs.append(const_spec(ones))
@@ -481,6 +504,7 @@ def swin_block_canvas(
         nww=nww, wp=Wp, t=(td, th, rw), R=R,
         nd_refs=nd_refs, nh_refs=nh_refs,
         has_region=region is not None, has_valid=valid is not None,
+        has_gates=gates is not None,
     )
     return pl.pallas_call(
         body,
