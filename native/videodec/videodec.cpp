@@ -6,8 +6,19 @@
 // in the inference path (vgqa/inference/video_utils.py:17-43). This
 // implementation seeks to the nearest keyframe before each requested frame
 // and decodes forward only as far as needed, converting to packed RGB24
-// with swscale. Exposed as a C ABI consumed through ctypes
-// (vgqa_tpu/native/videodec.py).
+// with swscale. Two additional levers over the round-2 version:
+//
+//  * vd_read_frames_scaled_mt: the sorted unique frame list is split into
+//    contiguous ranges decoded CONCURRENTLY, one independent
+//    format/codec/sws context per thread (serving hosts have many cores;
+//    the decode itself was the serving-path bottleneck).
+//  * skip_frame=NONREF while the decode position is far from the next
+//    wanted frame: non-reference frames that are neither output nor needed
+//    as prediction sources are dropped at the decoder level (bit-exact for
+//    every emitted frame, since skipped frames are by definition never
+//    referenced).
+//
+// Exposed as a C ABI consumed through ctypes (vgqa_tpu/native/videodec.py).
 
 extern "C" {
 #include <libavcodec/avcodec.h>
@@ -20,12 +31,17 @@ extern "C" {
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
 
 // Decoding sequentially is cheaper than a seek for short skips.
 constexpr long kSeekThreshold = 64;
+// Keep decoding ALL frames (incl. non-ref) within this distance of the next
+// wanted frame; beyond it non-reference frames are discarded pre-decode.
+// Must exceed the codec's max reorder depth (h264 <= 16).
+constexpr long kSkipMargin = 24;
 
 struct Decoder {
   AVFormatContext* fmt = nullptr;
@@ -88,52 +104,27 @@ struct Decoder {
   }
 };
 
-}  // namespace
-
-extern "C" {
-
-// Returns 0 on success.
-int vd_info(const char* path, int* total_frames, double* fps, int* width,
-            int* height) {
-  Decoder d;
-  int rc = d.open(path);
-  if (rc != 0) return rc;
-  *total_frames = d.total_frames();
-  *fps = d.fps;
-  *width = d.width;
-  *height = d.height;
-  return 0;
-}
-
-// Decode the frames listed in frame_ids (any order, repeats allowed) into
-// `out` (n * out_h * out_w * 3 bytes, RGB24), scaling to (out_w, out_h)
-// inside the same swscale pass that converts pixel format (out_w/out_h of
-// 0 keep the native size). Returns 0 on success.
-int vd_read_frames_scaled(const char* path, const long* frame_ids, int n,
-                          uint8_t* out, int out_w, int out_h) {
+// Decode uniq[lo..hi) (sorted, unique frame indices) into decoded[lo..hi)
+// with an independent Decoder instance. Thread-safe: ranges are disjoint.
+int decode_range(const char* path, const std::vector<long>& uniq, size_t lo,
+                 size_t hi, std::vector<std::vector<uint8_t>>& decoded,
+                 int out_w, int out_h) {
   Decoder d;
   int rc = d.open(path);
   if (rc != 0) return rc;
   if (out_w <= 0) out_w = d.width;
   if (out_h <= 0) out_h = d.height;
-
-  std::vector<long> wanted(frame_ids, frame_ids + n);
-  std::vector<long> uniq(wanted);
-  std::sort(uniq.begin(), uniq.end());
-  uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
-
   const int frame_bytes = out_w * out_h * 3;
-  std::vector<std::vector<uint8_t>> decoded(uniq.size());
 
-  d.sws = sws_getContext(d.width, d.height, d.codec->pix_fmt, out_w,
-                         out_h, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
-                         nullptr, nullptr);
+  d.sws = sws_getContext(d.width, d.height, d.codec->pix_fmt, out_w, out_h,
+                         AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr,
+                         nullptr);
   if (!d.sws) return -7;
 
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();
 
-  size_t cursor = 0;        // first uniq index not yet decoded
+  size_t cursor = lo;       // first uniq index not yet decoded
   long last_decoded = -1;   // highest frame index seen since last seek
   bool at_eof = false;
 
@@ -151,13 +142,13 @@ int vd_read_frames_scaled(const char* path, const long* frame_ids, int n,
         f->best_effort_timestamp != AV_NOPTS_VALUE ? f->best_effort_timestamp
                                                    : f->pts);
     last_decoded = std::max(last_decoded, fidx);
-    for (size_t i = cursor; i < uniq.size() && uniq[i] <= fidx; ++i) {
+    for (size_t i = cursor; i < hi && uniq[i] <= fidx; ++i) {
       if (decoded[i].empty()) convert_into(i, f);
     }
-    while (cursor < uniq.size() && !decoded[cursor].empty()) ++cursor;
+    while (cursor < hi && !decoded[cursor].empty()) ++cursor;
   };
 
-  while (cursor < uniq.size() && !at_eof) {
+  while (cursor < hi && !at_eof) {
     long target = uniq[cursor];
     if (last_decoded < 0 || target > last_decoded + kSeekThreshold ||
         target <= last_decoded) {
@@ -167,9 +158,16 @@ int vd_read_frames_scaled(const char* path, const long* frame_ids, int n,
       last_decoded = -1;
     }
     // decode until the target frame is stored or EOF
-    while (cursor < uniq.size() && uniq[cursor] == target) {
+    while (cursor < hi && uniq[cursor] == target) {
+      // far from the target: non-reference frames can't influence any
+      // output pixel — drop them before decode (margin covers reorder)
+      d.codec->skip_frame =
+          (last_decoded >= 0 && target - last_decoded > kSkipMargin)
+              ? AVDISCARD_NONREF
+              : AVDISCARD_DEFAULT;
       int read_rc = av_read_frame(d.fmt, pkt);
       if (read_rc < 0) {
+        d.codec->skip_frame = AVDISCARD_DEFAULT;
         avcodec_send_packet(d.codec, nullptr);  // flush
         while (avcodec_receive_frame(d.codec, frame) == 0) {
           handle_frame(frame);
@@ -197,6 +195,51 @@ int vd_read_frames_scaled(const char* path, const long* frame_ids, int n,
 
   av_frame_free(&frame);
   av_packet_free(&pkt);
+  return 0;
+}
+
+int read_frames_impl(const char* path, const long* frame_ids, int n,
+                     uint8_t* out, int out_w, int out_h, int num_threads) {
+  if (out_w <= 0 || out_h <= 0) {
+    Decoder probe;
+    int rc = probe.open(path);
+    if (rc != 0) return rc;
+    if (out_w <= 0) out_w = probe.width;
+    if (out_h <= 0) out_h = probe.height;
+  }
+  const int frame_bytes = out_w * out_h * 3;
+
+  std::vector<long> wanted(frame_ids, frame_ids + n);
+  std::vector<long> uniq(wanted);
+  std::sort(uniq.begin(), uniq.end());
+  uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+
+  std::vector<std::vector<uint8_t>> decoded(uniq.size());
+
+  size_t k = (size_t)std::max(1, num_threads);
+  // no point spinning up a decoder for fewer than a handful of frames
+  k = std::min(k, (uniq.size() + 7) / 8);
+  k = std::max<size_t>(k, 1);
+
+  if (k == 1) {
+    int rc = decode_range(path, uniq, 0, uniq.size(), decoded, out_w, out_h);
+    if (rc != 0) return rc;
+  } else {
+    std::vector<std::thread> threads;
+    std::vector<int> rcs(k, 0);
+    size_t per = (uniq.size() + k - 1) / k;
+    for (size_t t = 0; t < k; ++t) {
+      size_t lo = t * per;
+      size_t hi = std::min(uniq.size(), lo + per);
+      if (lo >= hi) break;
+      threads.emplace_back([&, t, lo, hi]() {
+        rcs[t] = decode_range(path, uniq, lo, hi, decoded, out_w, out_h);
+      });
+    }
+    for (auto& th : threads) th.join();
+    for (size_t t = 0; t < k; ++t)
+      if (rcs[t] != 0) return rcs[t];
+  }
 
   // frames past EOF (metadata frame counts can overshoot): reuse the
   // nearest earlier decoded frame (the reference's whole-video decode has
@@ -218,10 +261,45 @@ int vd_read_frames_scaled(const char* path, const long* frame_ids, int n,
   return 0;
 }
 
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success.
+int vd_info(const char* path, int* total_frames, double* fps, int* width,
+            int* height) {
+  Decoder d;
+  int rc = d.open(path);
+  if (rc != 0) return rc;
+  *total_frames = d.total_frames();
+  *fps = d.fps;
+  *width = d.width;
+  *height = d.height;
+  return 0;
+}
+
+// Decode the frames listed in frame_ids (any order, repeats allowed) into
+// `out` (n * out_h * out_w * 3 bytes, RGB24), scaling to (out_w, out_h)
+// inside the same swscale pass that converts pixel format (out_w/out_h of
+// 0 keep the native size). Returns 0 on success.
+int vd_read_frames_scaled(const char* path, const long* frame_ids, int n,
+                          uint8_t* out, int out_w, int out_h) {
+  return read_frames_impl(path, frame_ids, n, out, out_w, out_h, 1);
+}
+
+// As above, but the sorted unique frame list is split into num_threads
+// contiguous ranges decoded concurrently (independent demux/codec/sws
+// contexts per thread; output is bit-identical to the single-thread path).
+int vd_read_frames_scaled_mt(const char* path, const long* frame_ids, int n,
+                             uint8_t* out, int out_w, int out_h,
+                             int num_threads) {
+  return read_frames_impl(path, frame_ids, n, out, out_w, out_h, num_threads);
+}
+
 // Back-compat: native-size decode.
 int vd_read_frames(const char* path, const long* frame_ids, int n,
                    uint8_t* out) {
-  return vd_read_frames_scaled(path, frame_ids, n, out, 0, 0);
+  return read_frames_impl(path, frame_ids, n, out, 0, 0, 1);
 }
 
 }  // extern "C"

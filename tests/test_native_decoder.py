@@ -75,3 +75,34 @@ def test_scaled_decode_matches_resize(video):
         ref = cv2.resize(raw[i], (32, 24), interpolation=cv2.INTER_LINEAR)
         err = np.abs(ref.astype(int) - scaled[i].astype(int)).mean()
         assert err < 16, err
+
+
+@needs_native
+def test_mt_decode_bit_identical(tmp_path_factory):
+    """Thread-sliced decode (independent demux/codec contexts over
+    contiguous frame ranges) must be bit-identical to single-thread, on a
+    long-GOP video where slices start mid-GOP."""
+    p = str(tmp_path_factory.mktemp("vidmt") / "long.mp4")
+    write_synthetic_video(p, 120, (64, 48), seed=3)
+    ids = list(range(0, 120, 3))
+    single = videodec.read_frames(p, ids, threads=1)
+    for k in (2, 4, 7):
+        multi = videodec.read_frames(p, ids, threads=k)
+        np.testing.assert_array_equal(single, multi)
+    # scaled path too
+    s1 = videodec.read_frames(p, ids, size=(32, 24), threads=1)
+    s4 = videodec.read_frames(p, ids, size=(32, 24), threads=4)
+    np.testing.assert_array_equal(s1, s4)
+
+
+@needs_native
+def test_sparse_sampling_skip_nonref(tmp_path_factory):
+    """Sparse sampling (the 128-of-N serving pattern) engages the
+    skip-nonref fast path; every emitted frame must still be exact."""
+    p = str(tmp_path_factory.mktemp("vidsk") / "long.mp4")
+    write_synthetic_video(p, 200, (64, 48), seed=5)
+    ids = [0, 57, 123, 199]  # gaps >> kSkipMargin
+    got = videodec.read_frames(p, ids, threads=1)
+    dense = videodec.read_frames(p, list(range(200)), threads=1)
+    for i, f in enumerate(ids):
+        np.testing.assert_array_equal(got[i], dense[f])
