@@ -295,28 +295,17 @@ def merge_partial_params(base, partial):
     return merged, n_loaded, skipped
 
 
-def convert_grounding_reference(
+def convert_grounding_head(
     sd: StateDict,
     enc_layers: int = 6,
     dec_layers: int = 6,
-    resnet_depths=(3, 4, 23, 3),
-    swin_depths=(2, 2, 6, 2),
-    roberta_layers: int = 12,
 ) -> Dict:
-    """Reference VSTGNet state dict -> {'params': ...} for our VSTGNet."""
+    """The NON-tower part of the reference VSTGNet state dict -> flax params:
+    input projections, cross-modal encoder, classifiers, both decoders, and
+    the prediction-head MLPs. Shared by the full-checkpoint converter and
+    the full-chain parity test (tests/test_fullchain_parity.py), which
+    drives the reference's own torch modules with exactly these weights."""
     params: Dict = {}
-
-    params["vis_encoder"] = convert_resnet(
-        _sub(sd, "vis_encoder.0.body."), resnet_depths
-    )
-    params["vid"] = convert_video_swin(_sub(sd, "vid."), swin_depths)
-    params["text_encoder"] = {
-        "body": convert_roberta(_sub(sd, "text_encoder.body."), roberta_layers),
-        "resizer": {
-            "fc": _dense(sd, "text_encoder.resizer.fc"),
-            "layer_norm": _ln(sd, "text_encoder.resizer.layer_norm"),
-        },
-    }
     params["input_proj"] = _conv1x1_as_dense(sd, "input_proj")
     params["input_proj2"] = _conv1x1_as_dense(sd, "input_proj2")
 
@@ -365,4 +354,29 @@ def convert_grounding_reference(
 
     params["temp_embed"] = _mlp(sd, "temp_embed", 2)
     params["action_embed"] = _mlp(sd, "action_embed", 2)
+    return params
+
+
+def convert_grounding_reference(
+    sd: StateDict,
+    enc_layers: int = 6,
+    dec_layers: int = 6,
+    resnet_depths=(3, 4, 23, 3),
+    swin_depths=(2, 2, 6, 2),
+    roberta_layers: int = 12,
+) -> Dict:
+    """Reference VSTGNet state dict -> {'params': ...} for our VSTGNet."""
+    params = convert_grounding_head(sd, enc_layers, dec_layers)
+
+    params["vis_encoder"] = convert_resnet(
+        _sub(sd, "vis_encoder.0.body."), resnet_depths
+    )
+    params["vid"] = convert_video_swin(_sub(sd, "vid."), swin_depths)
+    params["text_encoder"] = {
+        "body": convert_roberta(_sub(sd, "text_encoder.body."), roberta_layers),
+        "resizer": {
+            "fc": _dense(sd, "text_encoder.resizer.fc"),
+            "layer_norm": _ln(sd, "text_encoder.resizer.layer_norm"),
+        },
+    }
     return {"params": params}

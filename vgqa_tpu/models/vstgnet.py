@@ -188,7 +188,6 @@ class VSTGNet(nn.Module):
         flat = video.frames.reshape(V * T, H, W, 3)
         res_feat = self.vis_encoder(flat)                   # [VT, h, w, 2048]
         h_, w_ = res_feat.shape[1:3]
-        vis_tokens = self.input_proj(res_feat).reshape(V, T, h_ * w_, c.hidden)
 
         if c.swin:
             last_stage = str(len(VIDEO_SWIN_CONFIGS[c.swin].depths) - 1)
@@ -242,9 +241,41 @@ class VSTGNet(nn.Module):
             f"tower misalignment: resnet {h_}x{w_} vs swin "
             f"{swin_out.shape[2]}x{swin_out.shape[3]}"
         )
+
+        # ---- text tower ---------------------------------------------------
+        text_tokens, _text_cls = self.text_encoder(
+            text.token_ids, text.mask, deterministic
+        )
+
+        return self.forward_from_towers(
+            res_feat.reshape(V, T, h_, w_, -1), swin_out, text_tokens,
+            video.pixel_mask, text.mask, video.time_mask, train=train,
+        )
+
+    def forward_from_towers(
+        self,
+        res_feat: jnp.ndarray,     # [V, T, h, w, Cr] ResNet C5 features
+        swin_out: jnp.ndarray,     # [V, T, h, w, Cs] Swin last-stage features
+        text_tokens: jnp.ndarray,  # [V, L, hidden] resized text features
+        pixel_mask: jnp.ndarray,   # [V, H, W] True=valid (input resolution)
+        text_mask: jnp.ndarray,    # [V, L] True=valid
+        time_mask: jnp.ndarray,    # [V, T] True=valid
+        train: bool = False,
+    ) -> dict:
+        """The grounding head chain from tower features to predictions:
+        input projections, 2D position encoding, cross-modal encoder,
+        temporal sampling / spatial activation / query construction, both
+        decoders, and all heads (grounding_net.py:103-187 minus the
+        towers). Exposed as its own method so the full chain can be driven
+        against the reference's torch modules on identical tower features
+        (tests/test_fullchain_parity.py)."""
+        c = self.cfg
+        deterministic = not train
+        V, T, h_, w_, _ = res_feat.shape
+        vis_tokens = self.input_proj(res_feat).reshape(V, T, h_ * w_, c.hidden)
         swin_tokens = self.input_proj2(swin_out).reshape(V, T, h_ * w_, c.hidden)
 
-        feat_mask = downsample_mask(video.pixel_mask, (h_, w_))  # [V, h, w]
+        feat_mask = downsample_mask(pixel_mask, (h_, w_))  # [V, h, w]
         # POS_ENC selection (reference build_position_encoding,
         # position_encoding.py:131-144)
         if c.pos_enc == "sineHW":
@@ -258,15 +289,10 @@ class VSTGNet(nn.Module):
         vis_pos = vis_pos.reshape(V, h_ * w_, c.hidden).astype(vis_tokens.dtype)
         vis_mask = feat_mask.reshape(V, h_ * w_)
 
-        # ---- text tower ---------------------------------------------------
-        text_tokens, _text_cls = self.text_encoder(
-            text.token_ids, text.mask, deterministic
-        )
-
         # ---- cross-modal fusion ------------------------------------------
         enc = self.ground_encoder(
             vis_tokens, swin_tokens, text_tokens, vis_pos, vis_mask,
-            text.mask, video.time_mask, deterministic,
+            text_mask, time_mask, deterministic,
         )
         hw = enc["hw"]
         L = enc["text_len"]
@@ -277,18 +303,18 @@ class VSTGNet(nn.Module):
         f_swin = jax.lax.stop_gradient(enc_swin)
         # per-token text context averaged over frames (grounding_net.py:119)
         f_text = jax.lax.stop_gradient(
-            masked_mean(encoded[:, :, hw : hw + L], video.time_mask, 1)
+            masked_mean(encoded[:, :, hw : hw + L], time_mask, 1)
         )                                                    # [V, L, d]
 
         # ---- text-guided temporal sampling (grounding_net.py:121-128) ----
-        logits_f_m = self.t_temporal_clas(f_swin, f_text, text.mask, deterministic)
-        logits_f_a = self.s_temporal_clas(f_vis, f_text, text.mask, deterministic)
+        logits_f_m = self.t_temporal_clas(f_swin, f_text, text_mask, deterministic)
+        logits_f_a = self.s_temporal_clas(f_vis, f_text, text_mask, deterministic)
         att_seq = (jax.nn.sigmoid(logits_f_m) + jax.nn.sigmoid(logits_f_a)) / 2
 
         def selection_from(scores: jnp.ndarray, thr: float) -> jnp.ndarray:
-            sel = (scores > thr) & video.time_mask
+            sel = (scores > thr) & time_mask
             has_any = sel.any(axis=-1, keepdims=True)
-            return jnp.where(has_any, sel, video.time_mask)
+            return jnp.where(has_any, sel, time_mask)
 
         select_mask = selection_from(att_seq, c.theta)
 
@@ -308,7 +334,7 @@ class VSTGNet(nn.Module):
         logits_r_m, logits_r_a, itq, isq = activation_and_queries(select_mask)
 
         outputs_pos, outputs_time = self.ground_decoder(
-            enc, isq, itq, video.time_mask, deterministic
+            enc, isq, itq, time_mask, deterministic
         )
 
         if not train:
@@ -320,7 +346,7 @@ class VSTGNet(nn.Module):
             select_mask = selection_from(act, 0.5)
             logits_r_m, logits_r_a, itq, isq = activation_and_queries(select_mask)
             outputs_pos, outputs_time = self.ground_decoder(
-                enc, isq, itq, video.time_mask, deterministic
+                enc, isq, itq, time_mask, deterministic
             )
 
         # ---- prediction heads (grounding_net.py:165-187) -----------------
