@@ -46,6 +46,25 @@ def run(engine, tiles, n_frames, max_new, label):
     print(f"{label}: {toks:.1f} tok/s  ({dt:.2f} s e2e for {max_new} tokens; "
           f"compile {compile_s:.0f}s; sample answer len {len(out)})",
           flush=True)
+
+    # per-phase split (vision / prefill / decode) over `iters` fenced runs
+    acc = {}
+    for i in range(iters):
+        _, st = engine.chat(
+            np.asarray(tiles), f"what happens in the video {i}?", gen,
+            num_patches_list=patches, return_stats=True,
+        )
+        for k, v in st.items():
+            acc[k] = acc.get(k, 0.0) + v / iters
+    print(
+        f"{label} phases: vision {acc['vision_s']:.2f}s "
+        f"({acc['vision_tiles']:.0f} tiles) | "
+        f"prefill {acc['prefill_s']:.2f}s = {acc['prefill_tok_s']:.0f} tok/s "
+        f"({acc['prefill_tokens']:.0f} tokens, "
+        f"chunked={acc['prefill_chunked'] > 0}) | "
+        f"decode {acc['decode_s']:.2f}s = {acc['decode_tok_s']:.1f} tok/s",
+        flush=True,
+    )
     return toks
 
 

@@ -148,6 +148,7 @@ class QAEngine:
         logits, new_cache = llm_forward(
             params["llm"], self.llm_cfg, embeds, pos, mask,
             cache=None, cache_index=None,
+            lm_head_rows=jnp.asarray(length - 1)[None],
         )
         # copy prefill kv into the persistent cache
         filled = []
@@ -159,7 +160,7 @@ class QAEngine:
                 cv, nv.astype(cv.dtype), (0, 0, 0, 0)
             )
             filled.append((ck, cv))
-        last = logits[jnp.arange(1), length - 1]
+        last = logits[:, 0]  # lm_head computed on the final row only
         return last, filled
 
     PREFILL_CHUNK = 1024
@@ -187,13 +188,14 @@ class QAEngine:
             mask = (key_idx[None, None, :] <= pos[:, :, None]) & (
                 key_idx[None, None, :] < length
             )
+            # the prompt's final real token lands in exactly one chunk
+            li = jnp.clip(length - 1 - i * CK, 0, CK - 1)
             logits, cache = llm_forward(
                 params["llm"], self.llm_cfg, emb_i, pos, mask,
                 cache=cache, cache_index=i * CK,
+                lm_head_rows=li[None],
             )
-            # the prompt's final real token lands in exactly one chunk
-            li = jnp.clip(length - 1 - i * CK, 0, CK - 1)
-            cand = logits[0, li][None]
+            cand = logits[:, 0]
             if last is None:
                 last = cand
             else:
@@ -355,16 +357,34 @@ class QAEngine:
         gen: Optional[GenerationConfig] = None,
         num_patches_list: Optional[List[int]] = None,
         rng: Optional[jax.Array] = None,
-    ) -> str:
+        return_stats: bool = False,
+    ):
+        """Returns the answer string; with ``return_stats`` a
+        ``(answer, stats)`` tuple where stats carries the per-phase wall
+        times and token rates (vision encode / prefill / decode). Phase
+        boundaries are forced with scalar host fetches — on remote-device
+        links ``block_until_ready`` does not await execution, so each
+        fetch both completes and fences the phase (the fence costs a
+        sub-ms sync locally, ~0.3 s through a tunnel; serving calls leave
+        ``return_stats`` off and keep the phases pipelined)."""
+        import time as _time
+
         gen = gen or GenerationConfig()
         if num_patches_list is None:
             num_patches_list = [tiles.shape[0]]
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        stats = {}
 
+        t0 = _time.time()
         vision_tokens = self._vision_fn(
             self.params, jnp.asarray(tiles, self.dtype)
         )  # [n_tiles, tok, D]
         vision_tokens = vision_tokens.reshape(-1, vision_tokens.shape[-1])
+        if return_stats:
+            float(vision_tokens[0, 0])  # fence
+            stats["vision_s"] = _time.time() - t0
+            stats["vision_tiles"] = int(tiles.shape[0])
+            t0 = _time.time()
 
         ids, img_positions = self.build_prompt_ids(question, num_patches_list)
         assert len(img_positions) == vision_tokens.shape[0], (
@@ -403,6 +423,13 @@ class QAEngine:
             logits, cache = self._prefill(
                 self.params, embeds, jnp.asarray(length), cache
             )
+        if return_stats:
+            float(logits[0, 0])  # fence
+            stats["prefill_s"] = _time.time() - t0
+            stats["prefill_tokens"] = length
+            stats["prefill_tok_s"] = length / stats["prefill_s"]
+            stats["prefill_chunked"] = bool(chunked)
+            t0 = _time.time()
 
         tok = self.tokenizer
         if not gen.do_sample or gen.temperature <= 0:
@@ -413,7 +440,13 @@ class QAEngine:
                 jnp.asarray(length, jnp.int32), stop_ids, gen.max_new_tokens,
             )
             out_ids = [int(t) for t in np.asarray(tokens) if t >= 0]
-            return self.tokenizer.decode(out_ids)
+            text = self.tokenizer.decode(out_ids)
+            if return_stats:
+                stats["decode_s"] = _time.time() - t0
+                stats["decode_tokens"] = gen.max_new_tokens
+                stats["decode_tok_s"] = gen.max_new_tokens / stats["decode_s"]
+                return text, stats
+            return text
 
         # temperature/top-p sampling, also as one device program
         stop_ids = jnp.asarray([tok.EOS, tok.IM_END], jnp.int32)
@@ -424,4 +457,10 @@ class QAEngine:
             jnp.asarray(gen.top_p, jnp.float32),
         )
         out_ids = [int(t) for t in np.asarray(tokens) if t >= 0]
-        return self.tokenizer.decode(out_ids)
+        text = self.tokenizer.decode(out_ids)
+        if return_stats:
+            stats["decode_s"] = _time.time() - t0
+            stats["decode_tokens"] = gen.max_new_tokens
+            stats["decode_tok_s"] = gen.max_new_tokens / stats["decode_s"]
+            return text, stats
+        return text
