@@ -167,3 +167,118 @@ def flash_mha(
     out = flash_attention(qf, kf, vf, maskf, scale=scale, interpret=interpret)
     out = out.reshape(B, num_heads, Lq, dh).transpose(0, 2, 1, 3)
     return out.reshape(*lead, Lq, dim)
+
+
+def _flash_gqa_causal_kernel(q_ref, k_ref, v_ref, len_ref, o_ref, *,
+                             scale, blk_q, blk_k, s_pad, q_offset, group):
+    """One (query-head, q-tile) of causal GQA prefill attention.
+
+    Queries are the contiguous positions [q_offset, q_offset + Lq); the
+    k-tile loop stops at the last tile any query in this tile may attend
+    (future keys are never touched — per-chunk cost grows causally instead
+    of with the full cache length)."""
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32) * scale            # [blk_q, dh]
+    d = q.shape[1]
+    length = len_ref[0, 0]
+
+    limit = q_offset + (qi + 1) * blk_q                 # exclusive key bound
+    num_k = pl.cdiv(jnp.minimum(limit, s_pad), blk_k)
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.ds(i * blk_k, blk_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * blk_k, blk_k), :].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                               # [blk_q, blk_k]
+        q_pos = (
+            jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 0)
+            + q_offset + qi * blk_q
+        )
+        k_pos = (
+            jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1)
+            + i * blk_k
+        )
+        mask = (k_pos <= q_pos) & (k_pos < length)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_cur = jnp.max(s, axis=-1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new[:, None])
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1)
+        acc = acc * alpha[:, None] + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((blk_q, d), jnp.float32)
+    m0 = jnp.full((blk_q,), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((blk_q,), jnp.float32)
+    acc, _, l = jax.lax.fori_loop(0, num_k, body, (acc0, m0, l0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)[:, None]).astype(o_ref.dtype)
+
+
+def flash_gqa_causal(
+    q: jnp.ndarray,          # [H, Lq, dh]   query heads
+    k: jnp.ndarray,          # [Hkv, S, dh]  full KV cache keys
+    v: jnp.ndarray,          # [Hkv, S, dh]
+    q_offset: int,           # STATIC global position of q row 0
+    length: jnp.ndarray,     # [] traced count of valid keys
+    scale: Optional[float] = None,
+    blk_q: int = 256,
+    blk_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Causal grouped-query flash attention for chunked prefill.
+
+    Query head h reads KV head h // (H // Hkv) straight from the cache
+    layout via the BlockSpec index map — no materialized KV repeat, no
+    [Lq, S] logit tensor (the XLA prefill path writes [H, Lq, S] f32
+    logits per layer: 1.2 GB/layer at the 32-frame QA protocol).
+    Returns [H, Lq, dh] in q.dtype."""
+    H, Lq, dh = q.shape
+    Hkv, S, _ = k.shape
+    group = H // Hkv
+    if scale is None:
+        scale = dh**-0.5
+
+    d_pad = _round_up(dh, 128)
+    lq_pad = _round_up(Lq, blk_q)
+    s_pad = _round_up(S, blk_k)
+
+    qp = jnp.pad(q, ((0, 0), (0, lq_pad - Lq), (0, d_pad - dh)))
+    kp = jnp.pad(k, ((0, 0), (0, s_pad - S), (0, d_pad - dh)))
+    vp = jnp.pad(v, ((0, 0), (0, s_pad - S), (0, d_pad - dh)))
+    len_arr = jnp.asarray(length, jnp.int32).reshape(1, 1)
+
+    grid = (H, lq_pad // blk_q)
+    kernel = functools.partial(
+        _flash_gqa_causal_kernel, scale=scale, blk_q=blk_q, blk_k=blk_k,
+        s_pad=s_pad, q_offset=q_offset, group=group,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, blk_q, d_pad), lambda h, i: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, d_pad),
+                         lambda h, i, g=group: (h // g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, d_pad),
+                         lambda h, i, g=group: (h // g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda h, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, blk_q, d_pad), lambda h, i: (h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, lq_pad, d_pad), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, len_arr)
+    return out[:, :Lq, :dh]

@@ -101,6 +101,16 @@ class QAEngine:
         self._vision_fn = jax.jit(
             lambda p, tiles: self.vision.apply({"params": p["vision"]}, tiles)
         )
+        import os as _os
+
+        # causal GQA flash prefill: native on TPU; interpret mode for CPU
+        # parity testing (VGQA_PALLAS_INTERPRET=1); plain XLA otherwise
+        self._flash_interpret = (
+            _os.environ.get("VGQA_PALLAS_INTERPRET") == "1"
+        )
+        self.use_flash_prefill = (
+            jax.default_backend() == "tpu" or self._flash_interpret
+        )
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(3,))
         self._prefill_chunked = jax.jit(self._prefill_chunked_impl,
                                         donate_argnums=(3,))
@@ -149,6 +159,11 @@ class QAEngine:
             params["llm"], self.llm_cfg, embeds, pos, mask,
             cache=None, cache_index=None,
             lm_head_rows=jnp.asarray(length - 1)[None],
+            flash_prefill=(
+                {"q_offset": 0, "length": length,
+                 "interpret": self._flash_interpret}
+                if self.use_flash_prefill else None
+            ),
         )
         # copy prefill kv into the persistent cache
         filled = []
@@ -194,6 +209,11 @@ class QAEngine:
                 params["llm"], self.llm_cfg, emb_i, pos, mask,
                 cache=cache, cache_index=i * CK,
                 lm_head_rows=li[None],
+                flash_prefill=(
+                    {"q_offset": i * CK, "length": length,
+                     "interpret": self._flash_interpret}
+                    if self.use_flash_prefill else None
+                ),
             )
             cand = logits[:, 0]
             if last is None:

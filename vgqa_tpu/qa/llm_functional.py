@@ -44,13 +44,22 @@ def llm_forward(
     cache: Optional[Any] = None,
     cache_index: Optional[jnp.ndarray] = None,
     lm_head_rows: Optional[jnp.ndarray] = None,  # [B] row per batch
+    flash_prefill: Optional[Dict[str, Any]] = None,
 ):
     """Mirror of LLM.__call__ (qa/llm.py) over a raw tree.
 
     ``lm_head_rows`` restricts the lm_head projection to one row per batch
     element (returned logits are [B, 1, V]). Prefill only consumes the
     final prompt token's logits, and the full-chunk [L, V] head matmul is
-    ~4% of an 8B prefill's FLOPs — all wasted without this."""
+    ~4% of an 8B prefill's FLOPs — all wasted without this.
+
+    ``flash_prefill`` = {"q_offset": int (STATIC query start position),
+    "length": [] traced valid-key count, "interpret": bool} routes the
+    attention through the causal GQA flash kernel
+    (ops/pallas/flash_attention.flash_gqa_causal): no [L, S] logit tensor
+    is materialized and key tiles beyond the causal frontier are never
+    read. ``attn_mask`` is ignored on that path — the kernel's
+    (causal, length) masking must describe the same mask. B must be 1."""
     x = input_embeds
     B, L, _ = x.shape
     hd = cfg.head_dim
@@ -82,18 +91,36 @@ def llm_forward(
             values = v.transpose(0, 2, 1, 3)
             new_cache.append((keys, values))
 
-        group = cfg.num_heads // cfg.num_kv_heads
-        qh = q.transpose(0, 2, 1, 3).reshape(B, cfg.num_kv_heads, group, L, hd)
-        logits = jnp.einsum(
-            "bkgld,bksd->bkgls", qh, keys, preferred_element_type=jnp.float32
-        ) / jnp.sqrt(hd).astype(jnp.float32)
-        logits = jnp.where(attn_mask[:, None, None], logits, -1e30)
-        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        ctx = jnp.einsum(
-            "bkgls,bksd->bkgld", probs, values, preferred_element_type=jnp.float32
-        ).astype(x.dtype)
-        ctx = ctx.reshape(B, cfg.num_heads, L, hd).transpose(0, 2, 1, 3)
-        ctx = ctx.reshape(B, L, cfg.num_heads * hd)
+        if flash_prefill is not None:
+            from ..ops.pallas.flash_attention import flash_gqa_causal
+
+            assert B == 1, "flash prefill is single-sequence"
+            qf = q[0].transpose(1, 0, 2)                 # [H, L, hd]
+            ctxf = flash_gqa_causal(
+                qf, keys[0], values[0],
+                q_offset=flash_prefill["q_offset"],
+                length=flash_prefill["length"],
+                interpret=flash_prefill.get("interpret", False),
+            )
+            ctx = ctxf.transpose(1, 0, 2).reshape(1, L, cfg.num_heads * hd)
+            ctx = ctx.astype(x.dtype)
+        else:
+            group = cfg.num_heads // cfg.num_kv_heads
+            qh = q.transpose(0, 2, 1, 3).reshape(
+                B, cfg.num_kv_heads, group, L, hd
+            )
+            logits = jnp.einsum(
+                "bkgld,bksd->bkgls", qh, keys,
+                preferred_element_type=jnp.float32,
+            ) / jnp.sqrt(hd).astype(jnp.float32)
+            logits = jnp.where(attn_mask[:, None, None], logits, -1e30)
+            probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            ctx = jnp.einsum(
+                "bkgls,bksd->bkgld", probs, values,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+            ctx = ctx.reshape(B, cfg.num_heads, L, hd).transpose(0, 2, 1, 3)
+            ctx = ctx.reshape(B, L, cfg.num_heads * hd)
         x = x + _dense(ctx, p["o_proj"])
 
         h = _rms_norm(x, p["mlp_norm"], cfg.rms_eps)
