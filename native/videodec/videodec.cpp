@@ -106,19 +106,25 @@ struct Decoder {
 
 // Decode uniq[lo..hi) (sorted, unique frame indices) into decoded[lo..hi)
 // with an independent Decoder instance. Thread-safe: ranges are disjoint.
+// yuv != 0 scales to planar YUV420P (I420 layout: Y then U then V) instead
+// of RGB24 — half the bytes per pixel; the consumer converts to RGB
+// on-device (colorspace math is free on a vector unit, host-to-device
+// bytes are the serving bottleneck).
 int decode_range(const char* path, const std::vector<long>& uniq, size_t lo,
                  size_t hi, std::vector<std::vector<uint8_t>>& decoded,
-                 int out_w, int out_h) {
+                 int out_w, int out_h, int yuv) {
   Decoder d;
   int rc = d.open(path);
   if (rc != 0) return rc;
   if (out_w <= 0) out_w = d.width;
   if (out_h <= 0) out_h = d.height;
-  const int frame_bytes = out_w * out_h * 3;
+  const int frame_bytes =
+      yuv ? out_w * out_h + 2 * ((out_w / 2) * (out_h / 2))
+          : out_w * out_h * 3;
 
   d.sws = sws_getContext(d.width, d.height, d.codec->pix_fmt, out_w, out_h,
-                         AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr,
-                         nullptr);
+                         yuv ? AV_PIX_FMT_YUV420P : AV_PIX_FMT_RGB24,
+                         SWS_BILINEAR, nullptr, nullptr, nullptr);
   if (!d.sws) return -7;
 
   AVPacket* pkt = av_packet_alloc();
@@ -130,9 +136,17 @@ int decode_range(const char* path, const std::vector<long>& uniq, size_t lo,
 
   auto convert_into = [&](size_t i, AVFrame* f) {
     decoded[i].resize(frame_bytes);
-    uint8_t* dst[1] = {decoded[i].data()};
-    int dst_stride[1] = {out_w * 3};
-    sws_scale(d.sws, f->data, f->linesize, 0, d.height, dst, dst_stride);
+    uint8_t* base = decoded[i].data();
+    if (yuv) {
+      uint8_t* dst[3] = {base, base + out_w * out_h,
+                         base + out_w * out_h + (out_w / 2) * (out_h / 2)};
+      int dst_stride[3] = {out_w, out_w / 2, out_w / 2};
+      sws_scale(d.sws, f->data, f->linesize, 0, d.height, dst, dst_stride);
+    } else {
+      uint8_t* dst[1] = {base};
+      int dst_stride[1] = {out_w * 3};
+      sws_scale(d.sws, f->data, f->linesize, 0, d.height, dst, dst_stride);
+    }
   };
 
   // Store a decoded frame: exact index matches, plus overshoot fallback
@@ -199,15 +213,31 @@ int decode_range(const char* path, const std::vector<long>& uniq, size_t lo,
 }
 
 int read_frames_impl(const char* path, const long* frame_ids, int n,
-                     uint8_t* out, int out_w, int out_h, int num_threads) {
-  if (out_w <= 0 || out_h <= 0) {
+                     uint8_t* out, int out_w, int out_h, int num_threads,
+                     int yuv = 0, int* full_range = nullptr) {
+  if (out_w <= 0 || out_h <= 0 || full_range) {
     Decoder probe;
     int rc = probe.open(path);
     if (rc != 0) return rc;
     if (out_w <= 0) out_w = probe.width;
     if (out_h <= 0) out_h = probe.height;
+    if (full_range) {
+      // full-range (JPEG) sources need different YUV->RGB coefficients on
+      // the device side; the flag also covers yuvj* pix fmts whose range
+      // tag is unspecified
+      AVCodecParameters* par = probe.fmt->streams[probe.stream_idx]->codecpar;
+      int fmt = par->format;
+      *full_range = (par->color_range == AVCOL_RANGE_JPEG ||
+                     fmt == AV_PIX_FMT_YUVJ420P || fmt == AV_PIX_FMT_YUVJ422P ||
+                     fmt == AV_PIX_FMT_YUVJ444P)
+                        ? 1
+                        : 0;
+    }
   }
-  const int frame_bytes = out_w * out_h * 3;
+  if (yuv && (out_w % 2 || out_h % 2)) return -9;
+  const int frame_bytes =
+      yuv ? out_w * out_h + 2 * ((out_w / 2) * (out_h / 2))
+          : out_w * out_h * 3;
 
   std::vector<long> wanted(frame_ids, frame_ids + n);
   std::vector<long> uniq(wanted);
@@ -222,7 +252,8 @@ int read_frames_impl(const char* path, const long* frame_ids, int n,
   k = std::max<size_t>(k, 1);
 
   if (k == 1) {
-    int rc = decode_range(path, uniq, 0, uniq.size(), decoded, out_w, out_h);
+    int rc =
+        decode_range(path, uniq, 0, uniq.size(), decoded, out_w, out_h, yuv);
     if (rc != 0) return rc;
   } else {
     std::vector<std::thread> threads;
@@ -233,7 +264,7 @@ int read_frames_impl(const char* path, const long* frame_ids, int n,
       size_t hi = std::min(uniq.size(), lo + per);
       if (lo >= hi) break;
       threads.emplace_back([&, t, lo, hi]() {
-        rcs[t] = decode_range(path, uniq, lo, hi, decoded, out_w, out_h);
+        rcs[t] = decode_range(path, uniq, lo, hi, decoded, out_w, out_h, yuv);
       });
     }
     for (auto& th : threads) th.join();
@@ -294,6 +325,20 @@ int vd_read_frames_scaled_mt(const char* path, const long* frame_ids, int n,
                              uint8_t* out, int out_w, int out_h,
                              int num_threads) {
   return read_frames_impl(path, frame_ids, n, out, out_w, out_h, num_threads);
+}
+
+// YUV420P variant: `out` receives n * (out_w*out_h*3/2) bytes, each frame
+// in I420 plane order (Y [h,w], U [h/2,w/2], V [h/2,w/2]) scaled to
+// (out_w, out_h) — half the bytes of RGB24, for links where
+// host-to-device upload dominates; the consumer converts to RGB
+// on-device. `full_range` (out) is 1 when the source is full-range
+// (JPEG/yuvj*) so the consumer can pick matching coefficients. out_w and
+// out_h must be even (returns -9 otherwise).
+int vd_read_frames_scaled_yuv_mt(const char* path, const long* frame_ids,
+                                 int n, uint8_t* out, int out_w, int out_h,
+                                 int num_threads, int* full_range) {
+  return read_frames_impl(path, frame_ids, n, out, out_w, out_h, num_threads,
+                          /*yuv=*/1, full_range);
 }
 
 // Back-compat: native-size decode.

@@ -130,3 +130,42 @@ def test_predict_short_odd_frame_video(env, tmp_path):
     assert result["temporal"]["start"] <= result["temporal"]["end"]
     assert len(result["tube"]) >= 1
     json.dumps(result)
+
+
+def test_predict_yuv_matches_rgb(env, tmp_path, monkeypatch):
+    """The YUV-upload serving path (I420 planes + on-device BT.601) must
+    reproduce the RGB-upload path within colorspace rounding: identical
+    schema, near-identical boxes/spans."""
+    from vgqa_tpu.native import videodec
+
+    if not videodec.available():
+        import pytest as _pytest
+
+        _pytest.skip("native decoder not built")
+    cfg, data_dir, out_dir = env
+    from vgqa_tpu.inference.grounding import predict
+
+    cfg_path = str(tmp_path / "tiny.yaml")
+    c = build_default_cfg()
+    c.merge_from_file("configs/grounding_vidstg_tiny.yaml")
+    c.DATA_DIR = data_dir
+    with open(cfg_path, "w") as f:
+        f.write(c.dump())
+    video = os.path.join(data_dir, "videos", "test_vid000.mp4")
+
+    monkeypatch.setenv("VGQA_SERVE_YUV", "0")
+    r_rgb = predict(video, "a green square", cfg_path, ckpt_path="")
+    monkeypatch.setenv("VGQA_SERVE_YUV", "1")
+    r_yuv = predict(video, "a green square", cfg_path, ckpt_path="")
+
+    assert set(r_yuv.keys()) == {"temporal", "tube"}
+    assert len(r_yuv["tube"]) == len(r_rgb["tube"])
+    # spans may shift by at most one sampled frame under pixel-level
+    # colorspace rounding through a random-init model
+    import numpy as _np
+
+    fps_step = abs(r_yuv["temporal"]["start"] - r_rgb["temporal"]["start"])
+    assert fps_step < 0.51, (r_yuv["temporal"], r_rgb["temporal"])
+    b_rgb = _np.array([t["bbox"] for t in r_rgb["tube"]])
+    b_yuv = _np.array([t["bbox"] for t in r_yuv["tube"]])
+    assert _np.abs(b_rgb - b_yuv).mean() < 3.0

@@ -106,3 +106,51 @@ def test_sparse_sampling_skip_nonref(tmp_path_factory):
     dense = videodec.read_frames(p, list(range(200)), threads=1)
     for i, f in enumerate(ids):
         np.testing.assert_array_equal(got[i], dense[f])
+
+
+@needs_native
+def test_yuv_decode_matches_rgb(tmp_path_factory):
+    """Scaled I420 output + host BT.601 conversion must match the decoder's
+    own RGB path within colorspace/chroma-siting rounding (the serving path
+    runs this exact conversion fused on device, inference/grounding.py)."""
+    p = str(tmp_path_factory.mktemp("vidyuv") / "v.mp4")
+    write_synthetic_video(p, 40, (64, 48), seed=7)
+    ids = [0, 9, 21, 39]
+    w, h = 32, 24
+    rgb = videodec.read_frames(p, ids, size=(w, h), threads=1)
+    flat, full_range = videodec.read_frames_yuv(p, ids, size=(w, h), threads=1)
+    assert flat.shape == (4, (w * h * 3) // 2)
+    assert full_range is False  # cv2-written mp4v is limited-range
+
+    npx, nc = w * h, (w // 2) * (h // 2)
+    y = flat[:, :npx].reshape(4, h, w).astype(np.float64)
+    u = flat[:, npx:npx + nc].reshape(4, h // 2, w // 2).astype(np.float64)
+    v = flat[:, npx + nc:].reshape(4, h // 2, w // 2).astype(np.float64)
+    u = np.repeat(np.repeat(u, 2, 1), 2, 2) - 128.0
+    v = np.repeat(np.repeat(v, 2, 1), 2, 2) - 128.0
+    yl = 1.1643835616 * (y - 16.0)
+    r = yl + 1.5960267857 * v
+    g = yl - 0.3917622768 * u - 0.8129676339 * v
+    b = yl + 2.0172321429 * u
+    ours = np.clip(np.stack([r, g, b], -1), 0, 255)
+
+    diff = np.abs(ours - rgb.astype(np.float64))
+    assert diff.mean() < 4.0, diff.mean()
+    assert np.percentile(diff, 99) < 40.0, np.percentile(diff, 99)
+
+
+@needs_native
+def test_yuv_mt_bit_identical(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("vidyuvmt") / "v.mp4")
+    write_synthetic_video(p, 90, (64, 48), seed=8)
+    ids = list(range(0, 90, 2))
+    f1, r1 = videodec.read_frames_yuv(p, ids, size=(32, 24), threads=1)
+    f4, r4 = videodec.read_frames_yuv(p, ids, size=(32, 24), threads=4)
+    assert r1 == r4
+    np.testing.assert_array_equal(f1, f4)
+
+
+@needs_native
+def test_yuv_odd_size_rejected(video):
+    with pytest.raises(ValueError):
+        videodec.read_frames_yuv(video, [0], size=(33, 24))

@@ -91,6 +91,29 @@ def read_frames(
     raise RuntimeError(f"Load Video Error: {path}") from last_err
 
 
+def read_frames_yuv(
+    path: str,
+    frame_ids: List[int],
+    size: Tuple[int, int],
+    patience: int = 3,
+):
+    """Decode as scaled planar YUV420P: ``(frames [T, h*w*3//2] uint8,
+    full_range)`` — half the bytes of RGB for host-to-device upload-bound
+    serving (the caller converts on-device, inference/grounding.py).
+    Native decoder only; returns ``None`` when it is unavailable or the
+    size is odd (caller falls back to :func:`read_frames`)."""
+    nat = _load_native()
+    if nat is None or size[0] % 2 or size[1] % 2:
+        return None
+    last_err: Optional[Exception] = None
+    for _ in range(max(1, patience)):
+        try:
+            return nat.read_frames_yuv(path, frame_ids, size=size)
+        except Exception as e:  # pragma: no cover - IO flake path
+            last_err = e
+    raise RuntimeError(f"Load Video Error: {path}") from last_err
+
+
 def _cv2_read_frames(path: str, frame_ids: List[int]) -> np.ndarray:
     import cv2
 

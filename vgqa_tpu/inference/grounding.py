@@ -23,7 +23,12 @@ import numpy as np
 
 from ..config import build_default_cfg
 from ..data.tokenizer import batch_encode, build_tokenizer
-from ..data.video_io import read_frames, uniform_sample_indices, video_info
+from ..data.video_io import (
+    read_frames,
+    read_frames_yuv,
+    uniform_sample_indices,
+    video_info,
+)
 from ..models import GroundingConfig, VSTGNet
 from ..training.checkpoint import CheckpointManager
 from ..training.evaluator import (
@@ -104,7 +109,42 @@ def _load_model(config_path: str, ckpt_path: str):
                            video.time_mask)
         return fwd(params, video, text, ori_sizes, letterbox)
 
-    return cfg, model, params, tokenizer, fwd_u8
+    # YUV-upload variant: frames arrive as flat I420 planes ([V, T, h*w*3/2]
+    # uint8 — HALF the RGB bytes; host-to-device upload is serialization-
+    # bound on remote links) and the BT.601 conversion + chroma upsample
+    # run fused on device. ``full_range`` is a traced 0/1 scalar selecting
+    # limited (MPEG) vs full (JPEG) range coefficients.
+    res_ = cfg.INPUT.RESOLUTION
+
+    @jax.jit
+    def fwd_yuv(params, video: VideoBatch, text: TextBatch, ori_sizes,
+                letterbox, full_range):
+        flat = video.frames
+        V, T2, _ = flat.shape
+        npx = res_ * res_
+        nc = (res_ // 2) * (res_ // 2)
+        y = flat[..., :npx].reshape(V, T2, res_, res_).astype(jnp.float32)
+        u = flat[..., npx:npx + nc].reshape(
+            V, T2, res_ // 2, res_ // 2).astype(jnp.float32)
+        v = flat[..., npx + nc:].reshape(
+            V, T2, res_ // 2, res_ // 2).astype(jnp.float32)
+        # nearest 2x2 chroma upsample (matches swscale's unscaled
+        # yuv420p->rgb block sharing)
+        u = jnp.repeat(jnp.repeat(u, 2, axis=2), 2, axis=3) - 128.0
+        v = jnp.repeat(jnp.repeat(v, 2, axis=2), 2, axis=3) - 128.0
+        fr = full_range > 0
+        yl = jnp.where(fr, y, 1.1643835616 * (y - 16.0))
+        r = yl + jnp.where(fr, 1.402, 1.5960267857) * v
+        g = (yl - jnp.where(fr, 0.344136, 0.3917622768) * u
+             - jnp.where(fr, 0.714136, 0.8129676339) * v)
+        b = yl + jnp.where(fr, 1.772, 2.0172321429) * u
+        rgb = jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+        frames = (rgb / 255.0 - mean) / std
+        video = VideoBatch(frames.astype(dtype), video.pixel_mask,
+                           video.time_mask)
+        return fwd(params, video, text, ori_sizes, letterbox)
+
+    return cfg, model, params, tokenizer, fwd_u8, fwd_yuv
 
 
 def predict(
@@ -121,7 +161,8 @@ def predict(
     if not os.path.exists(video_path):
         raise FileNotFoundError(f"Video not found: {video_path}")
 
-    cfg, model, params, tokenizer, fwd = _load_model(cfg_path, ckpt_path)
+    cfg, model, params, tokenizer, fwd, fwd_yuv = _load_model(
+        cfg_path, ckpt_path)
     res = cfg.INPUT.RESOLUTION
 
     total_frames, fps, w0, h0 = video_info(video_path)
@@ -131,8 +172,21 @@ def predict(
     # native decoder folds the scale into the same swscale pass that
     # converts pixel format (grounding.py:77-87 uses a plain square
     # Resize, not the letterbox train transform); normalization happens
-    # on device
-    frames = read_frames(video_path, frame_ids, size=(res, res))
+    # on device. When the native decoder is present, frames travel to the
+    # device as scaled I420 planes (half the RGB bytes — upload is the
+    # serving bottleneck on remote links) and the colorspace conversion
+    # runs fused on device; VGQA_SERVE_YUV=0 forces the RGB path.
+    full_range = 0.0
+    frames = None
+    if os.environ.get("VGQA_SERVE_YUV", "1") != "0":
+        yuv = read_frames_yuv(video_path, frame_ids, (res, res))
+    else:
+        yuv = None
+    if yuv is not None:
+        frames, fr_flag = yuv
+        full_range = float(fr_flag)
+    else:
+        frames = read_frames(video_path, frame_ids, size=(res, res))
 
     # short videos can sample an odd frame count (uniform_sample_indices
     # returns total_frames when < target_t); the even/odd split below needs
@@ -157,6 +211,9 @@ def predict(
         pixel_mask=jnp.ones((2, res, res), bool),
         time_mask=jnp.ones((2, t_half), bool),
     )
+    if yuv is not None:
+        fwd = lambda p, v, t, o, lb: fwd_yuv(  # noqa: E731
+            p, v, t, o, lb, jnp.float32(full_range))
     ids, mask = batch_encode(
         tokenizer, [query, query], cfg.INPUT.MAX_QUERY_LEN
     )
@@ -173,7 +230,8 @@ def predict(
         for half in (0, 1)
     ]
     gt_act = np.ones((2, t_half), np.float32)
-    b1, a1, t1, _ = single_forward(fwd, params, video, text, infos, gt_act)
+    b1, a1, t1, _ = single_forward(fwd, params, video, text, infos, gt_act,
+                                   canvas=(res, res))
 
     b1[0].update(b1[1])
     bbox_full = linear_interp(b1[0])

@@ -82,6 +82,17 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
     ]
     lib.vd_read_frames_scaled_mt.restype = ctypes.c_int
+    lib.vd_read_frames_scaled_yuv_mt.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_long),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.vd_read_frames_scaled_yuv_mt.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -143,3 +154,36 @@ def read_frames(
     if rc != 0:
         raise RuntimeError(f"videodec.vd_read_frames failed ({rc}) for {path}")
     return out
+
+
+def read_frames_yuv(
+    path: str,
+    frame_ids: List[int],
+    size: Tuple[int, int],
+    threads: Optional[int] = None,
+) -> Tuple[np.ndarray, bool]:
+    """Decode the listed frames as scaled planar YUV420P (I420): returns
+    ``(frames [n, h*w*3//2] uint8, full_range)``. Half the bytes of the RGB
+    path — for serving links where host-to-device upload is the
+    bottleneck; the caller converts to RGB on-device
+    (inference/grounding.py). ``size=(w, h)`` must be even."""
+    lib = _load()
+    assert lib is not None
+    w, h = size
+    if w % 2 or h % 2:
+        raise ValueError(f"YUV420 decode needs even dims, got {(w, h)}")
+    n = len(frame_ids)
+    ids = (ctypes.c_long * n)(*[int(i) for i in frame_ids])
+    out = np.empty((n, (h * w * 3) // 2), dtype=np.uint8)
+    full_range = ctypes.c_int(0)
+    rc = lib.vd_read_frames_scaled_yuv_mt(
+        path.encode(), ids, n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h,
+        threads if threads is not None else default_threads(),
+        ctypes.byref(full_range),
+    )
+    if rc != 0:
+        raise RuntimeError(
+            f"videodec.vd_read_frames_scaled_yuv_mt failed ({rc}) for {path}"
+        )
+    return out, bool(full_range.value)

@@ -88,16 +88,19 @@ def make_eval_forward(model):
 
 def single_forward(
     fwd, params, video: VideoBatch, text: TextBatch, infos: List[Dict],
-    gt_actioness: np.ndarray,
+    gt_actioness: np.ndarray, canvas=None,
 ):
     """Run one half-clip pass and convert to per-video dicts
-    (host side of evaluator.py:57-92)."""
+    (host side of evaluator.py:57-92). ``canvas=(h, w)`` overrides the
+    canvas dims when ``video.frames`` is not [V, T, H, W, C] (the serving
+    YUV-upload path ships flat I420 planes, inference/grounding.py)."""
     import jax.numpy as jnp
 
     ori = jnp.asarray([list(i["ori_size"]) for i in infos], jnp.float32)
     # fold the static canvas dims into the ori->canvas-pixel affine so the
     # device-side inversion works on normalized coords directly
-    ch, cw = video.frames.shape[2], video.frames.shape[3]
+    ch, cw = canvas if canvas is not None else (
+        video.frames.shape[2], video.frames.shape[3])
     lb = np.asarray(
         [i.get("letterbox", [cw / i["ori_size"][1], ch / i["ori_size"][0], 0.0, 0.0])
          for i in infos], np.float32,
