@@ -92,6 +92,55 @@ def test_chat_deterministic_greedy(tiny_engine):
     assert a1 == a2
 
 
+def test_chat_uint8_tiles_match_float(tiny_engine):
+    """uint8 tiles (device-side normalize) must produce the same greedy
+    answer as the pre-normalized float path (same pixels both ways)."""
+    from vgqa_tpu.qa.preprocess import normalize_tiles
+
+    eng = tiny_engine
+    s = eng.vit_cfg.image_size
+    raw = np.random.RandomState(3).randint(
+        0, 256, (2, s, s, 3), dtype=np.uint8
+    )
+    g = GenerationConfig(max_new_tokens=6, do_sample=False)
+    a_float = eng.chat(normalize_tiles(raw), "what?", g,
+                       num_patches_list=[1, 1])
+    a_uint8 = eng.chat(raw, "what?", g, num_patches_list=[1, 1])
+    assert a_uint8 == a_float
+
+
+def test_vit_flash_matches_einsum():
+    """ViT with flash (interpret-mode Pallas) attention matches the einsum
+    path on identical params/inputs."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from vgqa_tpu.qa.vit import VisionTower
+
+    cfg = ViTConfig.tiny()
+    tower = VisionTower(cfg)
+    tiles = jnp.asarray(
+        np.random.RandomState(4).rand(2, cfg.image_size, cfg.image_size, 3),
+        jnp.float32,
+    )
+    params = tower.init(jax.random.PRNGKey(0), tiles)
+    ref = tower.apply(params, tiles)
+
+    import os
+
+    os.environ["VGQA_PALLAS_INTERPRET"] = "1"
+    try:
+        flash_tower = VisionTower(dataclasses.replace(cfg, flash=True))
+        out = flash_tower.apply(params, tiles)
+    finally:
+        del os.environ["VGQA_PALLAS_INTERPRET"]
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3
+    )
+
+
 def test_qa_predict_api(tmp_path):
     from vgqa_tpu.data.synthetic import write_synthetic_video
     from vgqa_tpu.inference.qa import predict

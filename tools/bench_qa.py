@@ -135,8 +135,10 @@ def main():
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
             engine.params,
         )
-    tiles = np.random.RandomState(0).rand(args.frames, 448, 448, 3).astype(
-        np.float32
+    # uint8 tiles, matching the serving path: load_video_tiles returns
+    # uint8 and chat() normalizes on device (1-byte upload per channel)
+    tiles = np.random.RandomState(0).randint(
+        0, 256, (args.frames, 448, 448, 3), dtype=np.uint8
     )
 
     bf16 = None

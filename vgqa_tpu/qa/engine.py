@@ -91,16 +91,38 @@ class QAEngine:
             else "You are a helpful video assistant."
         )
 
+        import dataclasses as _dc
+        import os as _os
+
         self.llm = LLM(llm_cfg)
         self.embed = TokenEmbedding(llm_cfg)
+        # flash ViT attention on TPU (or interpret mode for CPU parity
+        # tests); the flag changes no parameters, only the attention op
+        if jax.default_backend() == "tpu" or (
+            _os.environ.get("VGQA_PALLAS_INTERPRET") == "1"
+        ):
+            vit_cfg = _dc.replace(vit_cfg, flash=True)
         self.vision = VisionTower(vit_cfg)
 
         g = vit_cfg.grid
         self.num_image_token = int((g * vit_cfg.downsample_ratio) ** 2)
 
-        self._vision_fn = jax.jit(
-            lambda p, tiles: self.vision.apply({"params": p["vision"]}, tiles)
-        )
+        def _vision_apply(p, tiles):
+            # uint8 tiles are normalized ON DEVICE (x/255 - mean)/std folded
+            # to one multiply-add, so the host->device upload is 1 byte per
+            # channel (4x less than the reference's float pixel_values;
+            # uploads are host-serialization-bound on remote links)
+            if tiles.dtype == jnp.uint8:
+                from .preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+                scale = jnp.asarray(
+                    1.0 / (255.0 * IMAGENET_STD), self.dtype)
+                bias = jnp.asarray(
+                    -IMAGENET_MEAN / IMAGENET_STD, self.dtype)
+                tiles = tiles.astype(self.dtype) * scale + bias
+            return self.vision.apply({"params": p["vision"]}, tiles)
+
+        self._vision_fn = jax.jit(_vision_apply)
         import os as _os
 
         # causal GQA flash prefill: native on TPU; interpret mode for CPU
@@ -372,7 +394,8 @@ class QAEngine:
     # -- public chat API ----------------------------------------------------
     def chat(
         self,
-        tiles: np.ndarray,              # [n_tiles, S, S, 3] normalized
+        tiles: np.ndarray,              # [n_tiles, S, S, 3] uint8 (device-
+                                        # normalized) or pre-normalized float
         question: str,
         gen: Optional[GenerationConfig] = None,
         num_patches_list: Optional[List[int]] = None,
@@ -396,8 +419,10 @@ class QAEngine:
         stats = {}
 
         t0 = _time.time()
+        dev_tiles = (jnp.asarray(tiles) if tiles.dtype == np.uint8
+                     else jnp.asarray(tiles, self.dtype))
         vision_tokens = self._vision_fn(
-            self.params, jnp.asarray(tiles, self.dtype)
+            self.params, dev_tiles
         )  # [n_tiles, tok, D]
         vision_tokens = vision_tokens.reshape(-1, vision_tokens.shape[-1])
         if return_stats:

@@ -88,9 +88,15 @@ def load_video_tiles(
     input_size: int = 448,
     max_num: int = 1,
     num_segments: int = 32,
+    normalized: bool = False,
 ):
-    """Video -> stacked normalized tiles + per-frame tile counts
-    (parity with _load_video, qa.py:123-153)."""
+    """Video -> stacked tiles + per-frame tile counts
+    (parity with _load_video, qa.py:123-153).
+
+    Tiles are returned **uint8** by default: ``QAEngine.chat`` normalizes
+    on device, so the host->device upload carries 1 byte/channel instead
+    of 4 (the upload is host-serialization-bound on remote links).
+    ``normalized=True`` restores the reference's float contract."""
     from ..data.video_io import frame_indices_with_bound, read_frames, video_info
 
     total, fps, _, _ = video_info(video_path)
@@ -103,6 +109,6 @@ def load_video_tiles(
         tiles = dynamic_tile(
             frame, image_size=input_size, use_thumbnail=True, max_num=max_num
         )
-        tiles_list.append(normalize_tiles(tiles))
+        tiles_list.append(normalize_tiles(tiles) if normalized else tiles)
         num_patches.append(tiles.shape[0])
     return np.concatenate(tiles_list, axis=0), num_patches

@@ -30,6 +30,12 @@ class ViTConfig:
     downsample_ratio: float = 0.5
     layer_norm_eps: float = 1e-6
     qkv_bias: bool = True
+    # flash (streaming-softmax) attention: never materializes the
+    # [tiles, H, L, L] probability tensor (1025 tokens x 32 tiles at the
+    # 32-frame QA protocol). Off by default — enabled by QAEngine on TPU
+    # (and under VGQA_PALLAS_INTERPRET=1 for CPU parity tests); does not
+    # change the parameter tree.
+    flash: bool = False
 
     @property
     def grid(self) -> int:
@@ -54,7 +60,17 @@ class ViTBlock(nn.Module):
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="norm1")(x)
         qkv = nn.Dense(3 * c.hidden_size, use_bias=c.qkv_bias, name="qkv")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        attn = dot_product_attention(q, k, v, c.num_heads)
+        if c.flash:
+            import os
+
+            from ..ops.pallas.flash_attention import flash_mha
+
+            attn = flash_mha(
+                q, k, v, c.num_heads,
+                interpret=os.environ.get("VGQA_PALLAS_INTERPRET") == "1",
+            )
+        else:
+            attn = dot_product_attention(q, k, v, c.num_heads)
         # learned per-layer residual scales (InternViT's ls1/ls2)
         ls1 = self.param("ls1", nn.initializers.ones, (c.hidden_size,))
         x = x + nn.Dense(c.hidden_size, name="proj")(attn) * ls1
