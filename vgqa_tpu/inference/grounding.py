@@ -101,12 +101,17 @@ def _load_model(config_path: str, ckpt_path: str):
     mean = jnp.asarray(cfg.INPUT.PIXEL_MEAN, jnp.float32)
     std = jnp.asarray(cfg.INPUT.PIXEL_STD, jnp.float32)
 
+    # Both wrappers take ALL sampled frames interleaved ([T2, ...]) and do
+    # the even/odd half split on device: predict() uploads the frames in
+    # decode-order chunks (jax.device_put serializes in the background, so
+    # chunk k+1's host decode overlaps chunk k's upload), and a host-side
+    # stride-2 restack would force a host sync.
     @jax.jit
-    def fwd_u8(params, video: VideoBatch, text: TextBatch, ori_sizes,
-               letterbox):
-        frames = (video.frames.astype(jnp.float32) / 255.0 - mean) / std
-        video = VideoBatch(frames.astype(dtype), video.pixel_mask,
-                           video.time_mask)
+    def fwd_u8(params, frames_all, pixel_mask, time_mask, text: TextBatch,
+               ori_sizes, letterbox):
+        both = jnp.stack([frames_all[0::2], frames_all[1::2]])
+        frames = (both.astype(jnp.float32) / 255.0 - mean) / std
+        video = VideoBatch(frames.astype(dtype), pixel_mask, time_mask)
         return fwd(params, video, text, ori_sizes, letterbox)
 
     # YUV-upload variant: frames arrive as flat I420 planes ([V, T, h*w*3/2]
@@ -117,9 +122,9 @@ def _load_model(config_path: str, ckpt_path: str):
     res_ = cfg.INPUT.RESOLUTION
 
     @jax.jit
-    def fwd_yuv(params, video: VideoBatch, text: TextBatch, ori_sizes,
-                letterbox, full_range):
-        flat = video.frames
+    def fwd_yuv(params, frames_all, pixel_mask, time_mask,
+                text: TextBatch, ori_sizes, letterbox, full_range):
+        flat = jnp.stack([frames_all[0::2], frames_all[1::2]])
         V, T2, _ = flat.shape
         npx = res_ * res_
         nc = (res_ // 2) * (res_ // 2)
@@ -140,8 +145,7 @@ def _load_model(config_path: str, ckpt_path: str):
         b = yl + jnp.where(fr, 1.772, 2.0172321429) * u
         rgb = jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
         frames = (rgb / 255.0 - mean) / std
-        video = VideoBatch(frames.astype(dtype), video.pixel_mask,
-                           video.time_mask)
+        video = VideoBatch(frames.astype(dtype), pixel_mask, time_mask)
         return fwd(params, video, text, ori_sizes, letterbox)
 
     return cfg, model, params, tokenizer, fwd_u8, fwd_yuv
@@ -176,44 +180,72 @@ def predict(
     # device as scaled I420 planes (half the RGB bytes — upload is the
     # serving bottleneck on remote links) and the colorspace conversion
     # runs fused on device; VGQA_SERVE_YUV=0 forces the RGB path.
+    # Decode happens in contiguous chunks, each handed to jax.device_put as
+    # soon as it is decoded: device_put serializes in a background thread,
+    # so chunk k's upload rides under chunk k+1's host decode and the
+    # end-to-end latency approaches max(decode, upload) + forward instead of
+    # their sum (upload and decode are comparable at 420px through a remote
+    # link). VGQA_DECODE_CHUNKS=1 restores the sequential path.
+    use_yuv = os.environ.get("VGQA_SERVE_YUV", "1") != "0"
+    n_chunks = max(1, int(os.environ.get("VGQA_DECODE_CHUNKS", "4")))
+    n_chunks = min(n_chunks, max(1, len(frame_ids)))
     full_range = 0.0
-    frames = None
-    if os.environ.get("VGQA_SERVE_YUV", "1") != "0":
-        yuv = read_frames_yuv(video_path, frame_ids, (res, res))
-    else:
-        yuv = None
-    if yuv is not None:
-        frames, fr_flag = yuv
-        full_range = float(fr_flag)
-    else:
-        frames = read_frames(video_path, frame_ids, size=(res, res))
+    parts = []
+    yuv = use_yuv
+    for cids in np.array_split(np.asarray(frame_ids), n_chunks):
+        chunk = None
+        if yuv:
+            out = read_frames_yuv(video_path, [int(i) for i in cids],
+                                  (res, res))
+            if out is None:
+                yuv = False   # native decoder absent: RGB for ALL chunks
+            else:
+                chunk, fr_flag = out
+                full_range = float(fr_flag)
+        if chunk is None:
+            chunk = read_frames(video_path, [int(i) for i in cids],
+                                size=(res, res))
+        parts.append(jax.device_put(chunk))   # async upload
+    if not yuv and len(parts) > 1 and parts[0].ndim != parts[-1].ndim:
+        # first chunk(s) decoded as YUV before the fallback kicked in:
+        # redecode those as RGB (native decoder failures are all-or-nothing
+        # in practice; this is a correctness guard)
+        parts = [
+            jax.device_put(read_frames(video_path, [int(i) for i in cids],
+                                       size=(res, res)))
+            for cids in np.array_split(np.asarray(frame_ids), n_chunks)
+        ]
+    frames = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
     # short videos can sample an odd frame count (uniform_sample_indices
-    # returns total_frames when < target_t); the even/odd split below needs
-    # an even T, so duplicate the last frame (keeps every decoded frame in
-    # a half rather than dropping one)
+    # returns total_frames when < target_t); the even/odd split needs an
+    # even T, so duplicate the last frame (keeps every decoded frame in a
+    # half rather than dropping one)
     if frames.shape[0] < 2:
-        frames = np.repeat(frames, 2, axis=0)
+        frames = jnp.concatenate([frames, frames], axis=0)
         frame_ids = list(frame_ids) * 2
     if frames.shape[0] % 2:
-        frames = np.concatenate([frames, frames[-1:]], axis=0)
+        frames = jnp.concatenate([frames, frames[-1:]], axis=0)
         frame_ids = list(frame_ids) + [frame_ids[-1]]
     frame_ids = np.asarray(frame_ids)
 
     # both 64-frame halves ride ONE batched forward (V=2): the reference
     # runs them sequentially (grounding.py:204-211); batching halves the
-    # dispatch/fetch round trips and doubles the MXU batch; pixels upload
-    # as uint8 (4x smaller than f32)
+    # dispatch/fetch round trips and doubles the MXU batch; the even/odd
+    # restack happens on device inside the jitted wrapper
     t_half = frames.shape[0] // 2
-    both = np.stack([frames[0::2], frames[1::2]])
-    video = VideoBatch(
-        frames=jnp.asarray(both),
-        pixel_mask=jnp.ones((2, res, res), bool),
-        time_mask=jnp.ones((2, t_half), bool),
-    )
-    if yuv is not None:
+    pixel_mask = jnp.ones((2, res, res), bool)
+    time_mask = jnp.ones((2, t_half), bool)
+    video = VideoBatch(frames=frames, pixel_mask=pixel_mask,
+                       time_mask=time_mask)
+    if yuv:
         fwd = lambda p, v, t, o, lb: fwd_yuv(  # noqa: E731
-            p, v, t, o, lb, jnp.float32(full_range))
+            p, v.frames, v.pixel_mask, v.time_mask, t, o, lb,
+            jnp.float32(full_range))
+    else:
+        u8 = fwd
+        fwd = lambda p, v, t, o, lb: u8(  # noqa: E731
+            p, v.frames, v.pixel_mask, v.time_mask, t, o, lb)
     ids, mask = batch_encode(
         tokenizer, [query, query], cfg.INPUT.MAX_QUERY_LEN
     )
