@@ -40,3 +40,19 @@ def enable_compilation_cache() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:  # older jax without these flags
         pass
+    # VGQA_EXPLAIN_CACHE=1: log WHY each compile missed the persistent
+    # cache (jax explains the first differing key component). A cold
+    # production-size compile costs 2-15 min through the remote service,
+    # so an unexpected miss is worth a diagnosis run; see
+    # tools/cache_doctor.py for an end-to-end cache health check.
+    if os.environ.get("VGQA_EXPLAIN_CACHE") == "1":
+        try:
+            jax.config.update("jax_explain_cache_misses", True)
+            import logging
+
+            logging.getLogger("jax._src.compilation_cache").setLevel(
+                logging.DEBUG
+            )
+            logging.getLogger("jax._src.compiler").setLevel(logging.DEBUG)
+        except Exception:
+            pass
