@@ -141,6 +141,29 @@ def test_vit_flash_matches_einsum():
     )
 
 
+def test_chat_batch_matches_sequential(tiny_engine):
+    """Lockstep batched decode must reproduce each request's solo greedy
+    answer (per-row cache positions, per-row stop) even with different
+    prompt lengths and tile counts in one batch."""
+    eng = tiny_engine
+    s = eng.vit_cfg.image_size
+    rng = np.random.RandomState(5)
+    reqs = [
+        (rng.randint(0, 256, (1, s, s, 3), dtype=np.uint8), "what moves?"),
+        (rng.randint(0, 256, (2, s, s, 3), dtype=np.uint8),
+         "describe the scene in the video", [1, 1]),
+    ]
+    g = GenerationConfig(max_new_tokens=6, do_sample=False)
+    solo = [
+        eng.chat(r[0], r[1], g,
+                 num_patches_list=list(r[2]) if len(r) > 2 else None)
+        for r in reqs
+    ]
+    batched, stats = eng.chat_batch(reqs, g, return_stats=True)
+    assert batched == solo
+    assert stats["batch"] == 2
+
+
 def test_qa_predict_api(tmp_path):
     from vgqa_tpu.data.synthetic import write_synthetic_video
     from vgqa_tpu.inference.qa import predict

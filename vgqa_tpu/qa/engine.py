@@ -144,6 +144,9 @@ class QAEngine:
         self._sample_loop = jax.jit(
             self._sample_loop_impl, static_argnums=(5,), donate_argnums=(1,)
         )
+        self._greedy_batch = jax.jit(
+            self._greedy_batch_impl, static_argnums=(5,), donate_argnums=(1,)
+        )
 
     # -- params init (random; converters fill real weights) ----------------
     @classmethod
@@ -320,6 +323,44 @@ class QAEngine:
             step, init, None, length=max_new_tokens
         )
         return tokens  # [max_new_tokens], -1 past the stop
+
+    def _greedy_batch_impl(self, params, cache, first_logits, positions,
+                           stop_ids, max_new_tokens):
+        """Lockstep batched greedy decode: B concurrent requests share one
+        device program, each owning one KV-cache row and advancing its own
+        position (prompt lengths differ per request). A finished row keeps
+        riding the batch (its emits are -1) until every row stops — decode
+        throughput scales with B while latency stays one scan.
+
+        Net-new vs the reference, which serves strictly one request at a
+        time (/root/reference/app/server.py's single-flight lock around
+        model.chat)."""
+        from .llm_functional import embed_tokens, llm_forward
+
+        S = cache[0][0].shape[2]
+
+        def step(carry, _):
+            cache, logits, position, done = carry
+            next_id = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # [B]
+            is_stop = jnp.any(
+                next_id[:, None] == stop_ids[None, :], axis=-1
+            ) | (position >= S - 1)
+            emit = jnp.where(done | is_stop, -1, next_id)
+            embeds = embed_tokens(
+                params["embed"], self.llm_cfg, emit[:, None]
+            )
+            mask = (jnp.arange(S)[None, None, :] <= position[:, None, None])
+            new_logits, new_cache = llm_forward(
+                params["llm"], self.llm_cfg, embeds,
+                position[:, None], mask, cache=cache, cache_index=position,
+            )
+            new_done = done | is_stop
+            return (new_cache, new_logits[:, 0], position + 1, new_done), emit
+
+        done0 = jnp.zeros(first_logits.shape[0], bool)
+        init = (cache, first_logits, positions, done0)
+        _, tokens = jax.lax.scan(step, init, None, length=max_new_tokens)
+        return tokens  # [max_new_tokens, B]
 
     def _sample_loop_impl(self, params, cache, first_logits, start_position,
                           stop_ids, max_new_tokens, rng, temperature, top_p):
@@ -509,3 +550,104 @@ class QAEngine:
             stats["decode_tok_s"] = gen.max_new_tokens / stats["decode_s"]
             return text, stats
         return text
+
+    def chat_batch(
+        self,
+        requests,
+        gen: Optional[GenerationConfig] = None,
+        return_stats: bool = False,
+    ):
+        """Serve B requests concurrently with one lockstep batched decode.
+
+        ``requests``: list of ``(tiles, question)`` or
+        ``(tiles, question, num_patches_list)`` tuples. Vision encode and
+        (flash/chunked) prefill run per request — each into its own row of
+        a shared [B, ...] KV cache — then every row decodes together in a
+        single scan program, so aggregate decode throughput scales with B.
+        Greedy only (batched nucleus sampling would need per-row RNG lanes;
+        the reference's serving path is greedy too once temperature=0).
+        Returns a list of answers (plus a stats dict with
+        ``return_stats``).
+
+        Net-new vs the reference, which serves strictly one request at a
+        time (its server wraps ``model.chat`` in a single-flight lock)."""
+        import time as _time
+
+        gen = gen or GenerationConfig()
+        if gen.do_sample and gen.temperature > 0:
+            raise ValueError("chat_batch is greedy-only; set do_sample=False")
+        if not requests:
+            return ([], {}) if return_stats else []
+
+        from .llm_functional import embed_tokens
+
+        t0 = _time.time()
+        prepped = []
+        for req in requests:
+            tiles, question = req[0], req[1]
+            npl = list(req[2]) if len(req) > 2 else [tiles.shape[0]]
+            dev_tiles = (jnp.asarray(tiles) if tiles.dtype == np.uint8
+                         else jnp.asarray(tiles, self.dtype))
+            vision_tokens = self._vision_fn(self.params, dev_tiles)
+            vision_tokens = vision_tokens.reshape(-1, vision_tokens.shape[-1])
+            ids, img_positions = self.build_prompt_ids(question, npl)
+            if len(img_positions) != vision_tokens.shape[0]:
+                raise ValueError(
+                    f"{len(img_positions)} image-token slots vs "
+                    f"{vision_tokens.shape[0]} vision tokens"
+                )
+            if len(ids) > self.max_seq_len:
+                raise ValueError(
+                    f"prompt is {len(ids)} tokens but the model's context "
+                    f"is {self.max_seq_len}"
+                )
+            prepped.append((vision_tokens, ids, img_positions, len(ids)))
+
+        # plan ONE prefill shape from the longest prompt so every row runs
+        # the same jitted program (shorter rows pad; their cache rows are
+        # masked by per-row positions during decode)
+        Lp, chunked = self._plan_prefill(max(p[3] for p in prepped))
+        max_total = min(self.max_seq_len, Lp + gen.max_new_tokens)
+
+        rows = []
+        for vision_tokens, ids, img_positions, length in prepped:
+            ids_arr = np.zeros((1, Lp), np.int32)
+            ids_arr[0, :length] = ids
+            embeds = embed_tokens(
+                self.params["embed"], self.llm_cfg, jnp.asarray(ids_arr)
+            ).astype(self.dtype)
+            if img_positions:
+                embeds = embeds.at[0, jnp.asarray(img_positions)].set(
+                    vision_tokens.astype(self.dtype)
+                )
+            cache = init_kv_cache(self.llm_cfg, 1, max_total, self.dtype)
+            fn = self._prefill_chunked if chunked else self._prefill
+            logits, cache = fn(self.params, embeds, jnp.asarray(length),
+                               cache)
+            rows.append((logits, cache, length))
+
+        batch_cache = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *[r[1] for r in rows]
+        )
+        first_logits = jnp.concatenate([r[0] for r in rows], axis=0)
+        positions = jnp.asarray([r[2] for r in rows], jnp.int32)
+        tok = self.tokenizer
+        stop_ids = jnp.asarray([tok.EOS, tok.IM_END], jnp.int32)
+        tokens = self._greedy_batch(
+            self.params, batch_cache, first_logits, positions, stop_ids,
+            gen.max_new_tokens,
+        )
+        tokens = np.asarray(tokens)                   # [max_new, B]
+        answers = [
+            tok.decode([int(t) for t in tokens[:, b] if t >= 0])
+            for b in range(tokens.shape[1])
+        ]
+        if return_stats:
+            dt = _time.time() - t0
+            stats = {
+                "batch": len(requests),
+                "total_s": dt,
+                "agg_decode_tok_s": len(requests) * gen.max_new_tokens / dt,
+            }
+            return answers, stats
+        return answers

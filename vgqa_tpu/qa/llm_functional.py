@@ -48,6 +48,10 @@ def llm_forward(
 ):
     """Mirror of LLM.__call__ (qa/llm.py) over a raw tree.
 
+    ``cache_index`` may be a scalar (all rows write at the same offset —
+    prefill) or a [B] vector (batched decode: row b writes at its own
+    position, since concurrent requests have different prompt lengths).
+
     ``lm_head_rows`` restricts the lm_head projection to one row per batch
     element (returned logits are [B, 1, V]). Prefill only consumes the
     final prompt token's logits, and the full-chunk [L, V] head matmul is
@@ -78,12 +82,23 @@ def llm_forward(
             ck, cv = cache[i]
             k_t = k.transpose(0, 2, 1, 3)
             v_t = v.transpose(0, 2, 1, 3)
-            ck = jax.lax.dynamic_update_slice(
-                ck, k_t.astype(ck.dtype), (0, 0, cache_index, 0)
-            )
-            cv = jax.lax.dynamic_update_slice(
-                cv, v_t.astype(cv.dtype), (0, 0, cache_index, 0)
-            )
+            if jnp.ndim(cache_index) == 1:
+                # batched decode: each row writes at ITS OWN position
+                # (per-request prompt lengths differ)
+                row_upd = jax.vmap(
+                    lambda c, u, ix: jax.lax.dynamic_update_slice(
+                        c, u, (0, ix, 0)
+                    )
+                )
+                ck = row_upd(ck, k_t.astype(ck.dtype), cache_index)
+                cv = row_upd(cv, v_t.astype(cv.dtype), cache_index)
+            else:
+                ck = jax.lax.dynamic_update_slice(
+                    ck, k_t.astype(ck.dtype), (0, 0, cache_index, 0)
+                )
+                cv = jax.lax.dynamic_update_slice(
+                    cv, v_t.astype(cv.dtype), (0, 0, cache_index, 0)
+                )
             keys, values = ck, cv
             new_cache.append((ck, cv))
         else:
