@@ -79,6 +79,8 @@ def main():
     ap.add_argument("--max-new", type=int, default=32)
     ap.add_argument("--vit-layers", type=int, default=12)
     ap.add_argument("--max-seq", type=int, default=8192)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="also bench chat_batch with B concurrent requests")
     ap.add_argument("--quant-only", action="store_true",
                     help="skip the bf16 pass (8B-class bf16 exceeds one "
                          "v5e's 16 GB HBM; int8 fits)")
@@ -148,6 +150,31 @@ def main():
     int8 = run(engine, tiles, args.frames, args.max_new, "int8 ")
     if bf16:
         print(f"int8/bf16 speedup: {int8 / bf16:.2f}x", flush=True)
+
+    if args.batch > 1:
+        # concurrent serving: B requests through chat_batch (per-row KV
+        # rows, lockstep decode) vs B sequential chats
+        from vgqa_tpu.qa import GenerationConfig
+
+        gen = GenerationConfig(max_new_tokens=args.max_new, do_sample=False)
+        reqs = [
+            (tiles, f"what happens in the video {i}?", [1] * args.frames)
+            for i in range(args.batch)
+        ]
+        engine.chat_batch(reqs, gen)  # compile
+        t0 = time.time()
+        engine.chat_batch(reqs, gen)
+        bt = time.time() - t0
+        t0 = time.time()
+        for r in reqs:
+            engine.chat(r[0], r[1], gen, num_patches_list=r[2])
+        st = time.time() - t0
+        agg = args.batch * args.max_new / bt
+        print(
+            f"batch={args.batch}: {bt:.2f}s batched vs {st:.2f}s sequential "
+            f"({st / bt:.2f}x) | aggregate {agg:.1f} tok/s e2e",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
