@@ -170,3 +170,11 @@ def test_converted_full_surface_int8_tp2_generation():
     with mesh:
         sharded = engine.chat(tiles, "what?", gen)
     assert sharded == baseline
+
+    # int8 quantized weights through the BATCHED decode (per-row [B]
+    # cache_index writes in llm_forward) must match solo greedy too
+    with mesh:
+        batched = engine.chat_batch(
+            [(tiles, "what?"), (tiles, "and then what happened?")], gen
+        )
+    assert batched[0] == baseline
