@@ -98,6 +98,81 @@ def test_annotations_and_dataset(data_dir):
     assert s["text"].startswith("the green square")
 
 
+def test_uint8_feed_matches_float_pipeline():
+    """TPU.UINT8_FEED canvases, normalized the way the jitted step does it
+    (u8/255 -> ImageNet stats -> pad re-zeroed), must reproduce the float
+    pipeline's canvases to within pixel-quantization error; geometry
+    (boxes, masks, letterbox) must be identical."""
+    from vgqa_tpu.data.transforms import build_transforms
+
+    frames = np.random.RandomState(0).rand(3, 48, 80, 3).astype(np.float32)
+    boxes = np.array([[5, 6, 40, 30]] * 3, np.float32)
+
+    outs = {}
+    for emit in (False, True):
+        cfg = build_default_cfg()
+        cfg.INPUT.RESOLUTION = 64
+        cfg.TPU.UINT8_FEED = emit
+        tf = build_transforms(cfg, is_train=False)
+        outs[emit] = tf({
+            "frames": frames.copy(), "boxes": boxes.copy(), "text": "t",
+            "letterbox": np.array([1, 1, 0, 0], np.float32),
+        })
+    f, u = outs[False], outs[True]
+    assert u["frames"].dtype == np.uint8 and f["frames"].dtype == np.float32
+    np.testing.assert_array_equal(f["pixel_mask"], u["pixel_mask"])
+    np.testing.assert_allclose(f["boxes"], u["boxes"])
+    np.testing.assert_allclose(f["letterbox"], u["letterbox"])
+
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    recon = (u["frames"].astype(np.float32) / 255.0 - mean) / std
+    recon = np.where(u["pixel_mask"][None, :, :, None], recon, 0.0)
+    # 0.5/255 pixel quantization -> <= 0.5/255/std ~ 0.0088 normalized
+    np.testing.assert_allclose(recon, f["frames"], atol=0.01)
+
+
+def test_eval_forward_uint8_matches_float():
+    """make_eval_forward normalizes uint8 batches on device to the same
+    outputs as the float feed."""
+    import jax
+    import jax.numpy as jnp
+
+    from vgqa_tpu.models import GroundingConfig, VSTGNet
+    from vgqa_tpu.training.evaluator import make_eval_forward
+    from vgqa_tpu.utils.containers import TextBatch, VideoBatch
+
+    model = VSTGNet(GroundingConfig.tiny_test())
+    res, t = 64, 4
+    rng = np.random.RandomState(1)
+    u8 = rng.randint(0, 256, (1, t, res, res, 3), np.uint8)
+    pixel_mask = np.ones((1, res, res), bool)
+    pixel_mask[:, 56:, :] = False  # letterbox band
+    time_mask = np.ones((1, t), bool)
+    text = TextBatch(jnp.asarray([[5, 8, 2]]), jnp.ones((1, 3), bool))
+
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    f32 = (u8.astype(np.float32) / 255.0 - mean) / std
+    f32 = np.where(pixel_mask[:, None, :, :, None], f32, 0.0)
+
+    vid_f = VideoBatch(jnp.asarray(f32), jnp.asarray(pixel_mask),
+                       jnp.asarray(time_mask))
+    params = model.init(jax.random.PRNGKey(0), vid_f, text, train=False)
+    fwd = make_eval_forward(model)
+    ori = jnp.asarray([[res, res]], jnp.float32)
+    lb = jnp.asarray([[1.0, 1.0, 0.0, 0.0]], jnp.float32)
+    ref_packed, ref_span = fwd(params, vid_f, text, ori, lb)
+
+    vid_u = VideoBatch(jnp.asarray(u8), jnp.asarray(pixel_mask),
+                       jnp.asarray(time_mask))
+    got_packed, got_span = fwd(params, vid_u, text, ori, lb)
+    np.testing.assert_allclose(
+        np.asarray(got_packed), np.asarray(ref_packed), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(got_span), np.asarray(ref_span))
+
+
 def test_annotation_cache_reused(data_dir):
     from vgqa_tpu.data.annotations import load_items
 

@@ -61,12 +61,21 @@ class Trainer:
         self.train_loader = make_data_loader(c, "train", global_batch=dp)
         self.max_iter = len(self.train_loader)
 
-        # init params from one example batch
+        # init params from one example batch (init only needs shapes; a
+        # uint8-feed batch is cast to f32 — normalization lives in step_fn)
         example = next(iter(make_data_loader(c, "train", global_batch=dp)))
+        ex_video = example["video"]
+        if ex_video.frames.dtype == jnp.uint8:
+            from vgqa_tpu.utils.containers import VideoBatch
+
+            ex_video = VideoBatch(
+                ex_video.frames.astype(jnp.float32) / 255.0,
+                ex_video.pixel_mask, ex_video.time_mask,
+            )
         with self.mesh:
             params = jax.jit(
                 lambda rng: self.model.init(
-                    rng, example["video"], example["text"], train=False
+                    rng, ex_video, example["text"], train=False
                 )
             )(jax.random.PRNGKey(self.seed))
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
@@ -120,6 +129,7 @@ class Trainer:
             remat=c.TPU.REMAT,
             compute_dtype=(jnp.bfloat16
                            if c.TPU.TRAIN_DTYPE == "bfloat16" else None),
+            pixel_stats=(c.INPUT.PIXEL_MEAN, c.INPUT.PIXEL_STD),
         )
         donate = (0,) if c.TPU.DONATE else ()
         self.step_fn = jax.jit(step_fn, donate_argnums=donate)

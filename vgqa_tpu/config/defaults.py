@@ -185,6 +185,9 @@ def _tpu_cfg() -> Cfg:
                                     # fwd/bwd, f32 master params/opt/EMA)
     t.DONATE = True                 # donate train-state buffers to the step
     t.PROFILE_DIR = ""              # capture a jax.profiler trace of steps 10-14
+    t.UINT8_FEED = True             # loader emits uint8 canvases; the jitted
+                                    # step normalizes on device (4x less
+                                    # host->device feed bandwidth)
     return t
 
 

@@ -31,7 +31,10 @@ def collate(
     v = len(samples)
     res_h, res_w = samples[0]["frames"].shape[1:3]
 
-    frames = np.zeros((v, pad_t, res_h, res_w, 3), np.float32)
+    # dtype follows the transform tail: uint8 under TPU.UINT8_FEED (the
+    # jitted step normalizes on device), f32 otherwise
+    frames = np.zeros((v, pad_t, res_h, res_w, 3),
+                      samples[0]["frames"].dtype)
     pixel_mask = np.zeros((v, res_h, res_w), bool)
     time_mask = np.zeros((v, pad_t), bool)
     boxes = np.zeros((v, pad_t, 4), np.float32)

@@ -176,12 +176,19 @@ class NormalizeAndPad:
     flip — is unchanged; only the final render scale adapts), then padded.
     Emits ``pixel_mask`` True=valid and finalizes ``letterbox``."""
 
-    def __init__(self, mean, std, size, aug_translate: bool = False, rng=None):
+    def __init__(self, mean, std, size, aug_translate: bool = False, rng=None,
+                 emit_uint8: bool = False):
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
         self.ch, self.cw = (size, size) if isinstance(size, int) else tuple(size)
         self.aug_translate = aug_translate
         self.rng = rng or random
+        # uint8 feed: emit the canvas as raw uint8 pixels and let the
+        # jitted step normalize ON DEVICE (train_step/make_eval_forward) —
+        # the host->device batch upload drops 4x (a 64f@420 f32 training
+        # batch is 135 MB/step; input feed bandwidth is a real TPU training
+        # bottleneck). Geometry, masks, and boxes are unchanged.
+        self.emit_uint8 = emit_uint8
 
     def __call__(self, sample: Dict) -> Dict:
         frames = sample["frames"]
@@ -197,16 +204,23 @@ class NormalizeAndPad:
             _update_letterbox(sample, nw / w, nh / h, 0.0, 0.0)
             h, w = nh, nw
 
-        frames = (frames - self.mean) / self.std
         dh, dw = self.ch - h, self.cw - w
         if self.aug_translate:
             top, left = self.rng.randint(0, dh), self.rng.randint(0, dw)
         else:
             top, left = round(dh / 2.0 - 0.1), round(dw / 2.0 - 0.1)
 
-        out = np.zeros((t, self.ch, self.cw, 3), np.float32)
+        if self.emit_uint8:
+            out = np.zeros((t, self.ch, self.cw, 3), np.uint8)
+            out[:, top : top + h, left : left + w] = np.clip(
+                np.round(frames * 255.0), 0, 255
+            ).astype(np.uint8)
+        else:
+            out = np.zeros((t, self.ch, self.cw, 3), np.float32)
+            out[:, top : top + h, left : left + w] = (
+                (frames - self.mean) / self.std
+            )
         mask = np.zeros((self.ch, self.cw), bool)
-        out[:, top : top + h, left : left + w] = frames
         mask[top : top + h, left : left + w] = True
         _update_letterbox(sample, 1.0, 1.0, float(left), float(top))
 
@@ -271,5 +285,6 @@ def build_transforms(cfg, is_train: bool, rng=None) -> Compose:
     pre = build_pre_canvas_transforms(cfg, is_train, rng=rng)
     aug_translate = bool(is_train and cfg.INPUT.AUG_TRANSLATE)
     return Compose(
-        pre + [NormalizeAndPad(mean, std, canvas_hw(cfg), aug_translate, rng=rng)]
+        pre + [NormalizeAndPad(mean, std, canvas_hw(cfg), aug_translate,
+                               rng=rng, emit_uint8=bool(cfg.TPU.UINT8_FEED))]
     )

@@ -57,16 +57,30 @@ def linear_interp_conf(conf_dict: Dict[int, Any]):
     return {f: conf_dict[f] for f in fids}
 
 
-def make_eval_forward(model):
+def make_eval_forward(model, pixel_stats=None):
     """Jitted eval forward + postprocess: the device-side half of
     single_forward (evaluator.py:57-92).
 
     Outputs are packed into two arrays: each host fetch is a full network
     round trip on remote-device tunnels, so [boxes|att|select] travel as one
-    [V, T, 6] tensor and the span indices as one [V, 2] tensor."""
+    [V, T, 6] tensor and the span indices as one [V, 2] tensor.
+
+    uint8 batches (TPU.UINT8_FEED loader output) are normalized on device
+    with ``pixel_stats=(mean, std)`` and the letterbox pad re-zeroed,
+    matching the host float pipeline."""
 
     @jax.jit
     def fwd(params, video: VideoBatch, text: TextBatch, ori_sizes, letterbox):
+        if video.frames.dtype == jnp.uint8:
+            mean, std = pixel_stats or (
+                (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+            )
+            f = (
+                video.frames.astype(jnp.float32) / 255.0
+                - jnp.asarray(mean, jnp.float32)
+            ) / jnp.asarray(std, jnp.float32)
+            f = jnp.where(video.pixel_mask[:, None, :, :, None], f, 0.0)
+            video = VideoBatch(f, video.pixel_mask, video.time_mask)
         out = model.apply(params, video, text, train=False)
         boxes, s_idx, e_idx = postprocess(
             out["pred_boxes"], out["pred_sted"], ori_sizes, video.time_mask,
@@ -142,7 +156,9 @@ def do_eval(cfg, mode, logger, model, params, data_loader, evaluator,
     evaluates on every DDP rank)."""
     if logger:
         logger.info(f"Start evaluation on the {mode} split of {cfg.DATASET.NAME}")
-    fwd = make_eval_forward(model)
+    fwd = make_eval_forward(
+        model, pixel_stats=(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD)
+    )
 
     for batch in data_loader:
         video: VideoBatch = batch["video"]

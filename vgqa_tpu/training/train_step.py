@@ -47,8 +47,15 @@ def make_train_step(
     ema_decay: Optional[float] = 0.9998,
     remat: bool = False,
     compute_dtype: Optional[Any] = None,
+    pixel_stats: Optional[Any] = None,
 ):
     """Returns step_fn(state, video, text, targets, rng) -> (state, metrics).
+
+    ``pixel_stats=(mean, std)`` supports the uint8 feed (TPU.UINT8_FEED):
+    when the batch arrives as raw uint8 canvases, the step normalizes on
+    device and re-zeros the letterbox pad (matching the host float
+    pipeline, which pads AFTER normalizing) — 4x less host->device feed
+    bandwidth per batch.
 
     ``remat`` rematerializes the forward during backward (jax.checkpoint),
     trading ~1/3 extra FLOPs for activation memory — the TPU version of
@@ -77,6 +84,16 @@ def make_train_step(
     def step_fn(state: TrainState, video: VideoBatch, text: TextBatch,
                 targets: Dict, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
+        if video.frames.dtype == jnp.uint8:
+            mean, std = pixel_stats or (
+                (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+            )
+            f = (
+                video.frames.astype(jnp.float32) / 255.0
+                - jnp.asarray(mean, jnp.float32)
+            ) / jnp.asarray(std, jnp.float32)
+            f = jnp.where(video.pixel_mask[:, None, :, :, None], f, 0.0)
+            video = VideoBatch(f, video.pixel_mask, video.time_mask)
         if compute_dtype is not None:
             video = VideoBatch(
                 video.frames.astype(compute_dtype),
