@@ -173,12 +173,6 @@ int decode_range(const char* path, const std::vector<long>& uniq, size_t lo,
     }
     // decode until the target frame is stored or EOF
     while (cursor < hi && uniq[cursor] == target) {
-      // far from the target: non-reference frames can't influence any
-      // output pixel — drop them before decode (margin covers reorder)
-      d.codec->skip_frame =
-          (last_decoded >= 0 && target - last_decoded > kSkipMargin)
-              ? AVDISCARD_NONREF
-              : AVDISCARD_DEFAULT;
       int read_rc = av_read_frame(d.fmt, pkt);
       if (read_rc < 0) {
         d.codec->skip_frame = AVDISCARD_DEFAULT;
@@ -194,6 +188,24 @@ int decode_range(const char* path, const std::vector<long>& uniq, size_t lo,
         av_packet_unref(pkt);
         continue;
       }
+      // Far from the target, non-reference frames can't influence any
+      // output pixel — drop them pre-decode. Decided PER PACKET from the
+      // packet's own pts-derived frame index: the margin covers reorder
+      // depth, and a packet whose frame is itself wanted is never
+      // discarded (a >margin run of consecutive non-ref frames could
+      // otherwise swallow a wanted frame at its tail — last_decoded only
+      // advances on decoded frames, so the distance check alone stays
+      // true across the whole run). No packet pts -> conservative decode.
+      bool drop_nonref = false;
+      if (last_decoded >= 0 && target - last_decoded > kSkipMargin &&
+          pkt->pts != AV_NOPTS_VALUE) {
+        long pfidx = d.pts_to_frame(pkt->pts);
+        drop_nonref = pfidx < target - kSkipMargin ||
+                      !std::binary_search(uniq.begin() + cursor,
+                                          uniq.begin() + hi, pfidx);
+      }
+      d.codec->skip_frame =
+          drop_nonref ? AVDISCARD_NONREF : AVDISCARD_DEFAULT;
       int src = avcodec_send_packet(d.codec, pkt);
       av_packet_unref(pkt);
       if (src < 0 && src != AVERROR(EAGAIN)) {

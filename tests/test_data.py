@@ -149,12 +149,15 @@ def test_eval_forward_uint8_matches_float():
     pixel_mask = np.ones((1, res, res), bool)
     pixel_mask[:, 56:, :] = False  # letterbox band
     time_mask = np.ones((1, t), bool)
+    time_mask[:, -1] = False  # time-padded frame (collate zero-fills it)
+    u8[:, -1] = 0
     text = TextBatch(jnp.asarray([[5, 8, 2]]), jnp.ones((1, 3), bool))
 
     mean = np.array([0.485, 0.456, 0.406], np.float32)
     std = np.array([0.229, 0.224, 0.225], np.float32)
     f32 = (u8.astype(np.float32) / 255.0 - mean) / std
     f32 = np.where(pixel_mask[:, None, :, :, None], f32, 0.0)
+    f32 = np.where(time_mask[:, :, None, None, None], f32, 0.0)
 
     vid_f = VideoBatch(jnp.asarray(f32), jnp.asarray(pixel_mask),
                        jnp.asarray(time_mask))

@@ -62,14 +62,18 @@ def probe() -> bool:
 
     x = jnp.ones((256, 256), jnp.float32)
 
+    # NOTE: timings fetch a scalar to host — block_until_ready returns
+    # before device execution completes on remote tunnels (CLAUDE.md).
+    # Compilation itself is host-synchronous, so the cold/warm comparison
+    # is valid either way; the fetch keeps the printed times honest.
     t0 = time.time()
-    marker(x).block_until_ready()
+    float(marker(x).sum())
     cold = time.time() - t0
 
     jax.clear_caches()  # drop in-memory executables; disk cache persists
 
     t0 = time.time()
-    marker(x).block_until_ready()
+    float(marker(x).sum())
     warm = time.time() - t0
 
     print(f"probe: first compile {cold:.2f}s, post-clear recompile {warm:.2f}s")

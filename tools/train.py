@@ -231,8 +231,18 @@ class Trainer:
             local = build_mesh(dp=dp // jax.process_count(), tp=1,
                                devices=jax.local_devices())
             shard = batch_sharding(local)
+            # re-host the dp-replicated global params as local arrays, then
+            # device_put ONCE replicated over the local mesh — leaving them
+            # as numpy would re-upload the whole tree on every jitted
+            # forward call in the eval loop
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            replicated = NamedSharding(local, PartitionSpec())
             params = jax.tree.map(
-                lambda x: np.asarray(x.addressable_data(0)), params
+                lambda x: jax.device_put(
+                    np.asarray(x.addressable_data(0)), replicated
+                ),
+                params,
             )
         return do_eval(c, "test", self.logger, self.model, params,
                        loader, evaluator, sharding=shard)

@@ -52,7 +52,10 @@ class VidSTGDataset:
         transforms.py, matches the reference's)."""
         res = self.cfg.INPUT.RESOLUTION
         path = os.path.join(self.data_dir, "videos", item["vid"] + ".mp4")
-        frames = read_frames(path, item["frame_ids"])
+        # threads=1: training clips are dense/contiguous (multi-threaded
+        # slicing would re-decode the shared GOP prefix per thread) and
+        # DATALOADER.NUM_WORKERS prefetch threads already fill the cores
+        frames = read_frames(path, item["frame_ids"], threads=1)
         h, w = frames.shape[1:3]
         if w >= h:
             nh, nw = res, max(1, int(round(res * w / h)))

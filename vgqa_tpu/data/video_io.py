@@ -62,6 +62,7 @@ def read_frames(
     frame_ids: List[int],
     patience: int = 3,
     size: Optional[Tuple[int, int]] = None,
+    threads: Optional[int] = None,
 ) -> np.ndarray:
     """Decode the requested frames as uint8 RGB [T, H, W, 3].
 
@@ -70,13 +71,17 @@ def read_frames(
     pass instead of decode-then-cv2.resize). ``patience`` retries
     transient decode failures (the reference retries whole-video decodes
     20x, vidstg_dataset.py:116-131; selective decode makes retries
-    cheap)."""
+    cheap). ``threads`` overrides the native decoder's thread count —
+    dense contiguous reads (the training loader) should pass 1: slicing a
+    contiguous clip across threads re-decodes the shared GOP prefix per
+    thread, and loader prefetch workers already provide the parallelism."""
     last_err: Optional[Exception] = None
     for _ in range(max(1, patience)):
         try:
             nat = _load_native()
             if nat is not None:
-                return nat.read_frames(path, frame_ids, size=size)
+                return nat.read_frames(path, frame_ids, size=size,
+                                       threads=threads)
             raw = _cv2_read_frames(path, frame_ids)
             if size is not None and raw.shape[2:0:-1] != size:
                 import cv2

@@ -34,8 +34,13 @@ def postprocess(
     ``(n - o) / s`` per axis (the reference's plain ``n * ori`` rescale,
     postprocessor.py:27-35, is exact only for its unpadded variable-size
     frames; with a letterboxed canvas the pad offset and content scale must
-    come out first). ``None`` keeps the plain rescale — correct for the
-    square-stretched ``predict()`` serving path."""
+    come out first). This path also clips to the image bounds — on a
+    letterboxed canvas the model can place box edges inside the pad band,
+    which would otherwise invert to coordinates beyond the original frame
+    (deliberately stricter than the reference's clamp(min=0)-only). All
+    production callers pass a letterbox (single_forward synthesizes an
+    identity-offset one when the data pipeline recorded none); ``None``
+    keeps the reference's literal clamp(min=0) rescale for parity tests."""
     boxes = box_cxcywh_to_xyxy(pred_boxes)
     h = target_sizes[:, 0:1]
     w = target_sizes[:, 1:2]

@@ -34,6 +34,16 @@ def initialize_multihost() -> None:
     CPU meshes additionally need gloo collectives, selected here."""
     coord = os.environ.get("VGQA_COORDINATOR")
     if not coord:
+        # No explicit rendezvous. Two cases still need the distributed
+        # runtime, both auto-detected by a bare jax.distributed.initialize():
+        # JAX's own env contract (JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/
+        # JAX_PROCESS_ID), and multi-host Cloud TPU slices (worker list in
+        # TPU_WORKER_HOSTNAMES — only multi-entry lists matter; a
+        # single-host slice runs fine as one process).
+        tpu_hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        if os.environ.get("JAX_COORDINATOR_ADDRESS") or "," in tpu_hosts:
+            jax.distributed.initialize()
+            _warm_all_device_communicator()
         return
     nproc = int(os.environ["VGQA_NUM_PROCESSES"])
     pid = int(os.environ["VGQA_PROCESS_ID"])

@@ -123,7 +123,6 @@ class QAEngine:
             return self.vision.apply({"params": p["vision"]}, tiles)
 
         self._vision_fn = jax.jit(_vision_apply)
-        import os as _os
 
         # causal GQA flash prefill: native on TPU; interpret mode for CPU
         # parity testing (VGQA_PALLAS_INTERPRET=1); plain XLA otherwise
@@ -647,7 +646,10 @@ class QAEngine:
             stats = {
                 "batch": len(requests),
                 "total_s": dt,
-                "agg_decode_tok_s": len(requests) * gen.max_new_tokens / dt,
+                # aggregate tokens over the FULL batch call (vision +
+                # prefill + lockstep decode) — not comparable to chat()'s
+                # decode-phase-only decode_tok_s
+                "agg_tok_s_e2e": len(requests) * gen.max_new_tokens / dt,
             }
             return answers, stats
         return answers

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..models.postprocess import postprocess
 from ..data.metrics.evaluator import precision_recall
-from ..utils.containers import TextBatch, VideoBatch
+from ..utils.containers import TextBatch, VideoBatch, normalize_uint8_video
 
 
 def linear_interp(bbox_dict: Dict[int, List[List[float]]]):
@@ -66,21 +66,13 @@ def make_eval_forward(model, pixel_stats=None):
     [V, T, 6] tensor and the span indices as one [V, 2] tensor.
 
     uint8 batches (TPU.UINT8_FEED loader output) are normalized on device
-    with ``pixel_stats=(mean, std)`` and the letterbox pad re-zeroed,
-    matching the host float pipeline."""
+    with ``pixel_stats=(mean, std)``; letterbox and time padding are
+    re-zeroed to match the host float pipeline."""
 
     @jax.jit
     def fwd(params, video: VideoBatch, text: TextBatch, ori_sizes, letterbox):
         if video.frames.dtype == jnp.uint8:
-            mean, std = pixel_stats or (
-                (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
-            )
-            f = (
-                video.frames.astype(jnp.float32) / 255.0
-                - jnp.asarray(mean, jnp.float32)
-            ) / jnp.asarray(std, jnp.float32)
-            f = jnp.where(video.pixel_mask[:, None, :, :, None], f, 0.0)
-            video = VideoBatch(f, video.pixel_mask, video.time_mask)
+            video = normalize_uint8_video(video, pixel_stats)
         out = model.apply(params, video, text, train=False)
         boxes, s_idx, e_idx = postprocess(
             out["pred_boxes"], out["pred_sted"], ori_sizes, video.time_mask,

@@ -18,7 +18,7 @@ import optax
 from flax import struct
 
 from ..models.loss import VideoSTGLoss
-from ..utils.containers import TextBatch, VideoBatch
+from ..utils.containers import TextBatch, VideoBatch, normalize_uint8_video
 from .optimizer import update_ema
 
 
@@ -85,15 +85,7 @@ def make_train_step(
                 targets: Dict, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
         if video.frames.dtype == jnp.uint8:
-            mean, std = pixel_stats or (
-                (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
-            )
-            f = (
-                video.frames.astype(jnp.float32) / 255.0
-                - jnp.asarray(mean, jnp.float32)
-            ) / jnp.asarray(std, jnp.float32)
-            f = jnp.where(video.pixel_mask[:, None, :, :, None], f, 0.0)
-            video = VideoBatch(f, video.pixel_mask, video.time_mask)
+            video = normalize_uint8_video(video, pixel_stats)
         if compute_dtype is not None:
             video = VideoBatch(
                 video.frames.astype(compute_dtype),

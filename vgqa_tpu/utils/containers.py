@@ -86,6 +86,32 @@ class VideoBatch:
         )
 
 
+def normalize_uint8_video(
+    video: "VideoBatch", pixel_stats=None
+) -> "VideoBatch":
+    """Device-side normalization for the uint8 feed (TPU.UINT8_FEED).
+
+    The host float pipeline normalizes BEFORE padding, so every padded
+    element — the spatial letterbox band AND time-padded frames — is 0.0
+    in normalized space. A raw uint8 canvas normalizes those zeros to
+    -mean/std instead, so both masks must re-zero here (Video Swin's 3D
+    windows attend across the unmasked time axis; un-zeroed pad frames
+    would bleed into valid features).
+    """
+    mean, std = pixel_stats or ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
+    f = (
+        video.frames.astype(jnp.float32) / 255.0
+        - jnp.asarray(mean, jnp.float32)
+    ) / jnp.asarray(std, jnp.float32)
+    valid = (
+        video.pixel_mask[:, None, :, :, None]
+        & video.time_mask[:, :, None, None, None]
+    )
+    return VideoBatch(
+        jnp.where(valid, f, 0.0), video.pixel_mask, video.time_mask
+    )
+
+
 @struct.dataclass
 class TextBatch:
     """A batch of tokenized queries, padded to a static length.
