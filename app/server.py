@@ -4,8 +4,10 @@ Parity with the reference FastAPI app (/root/reference/app/server.py:45-298)
 on the Python stdlib (FastAPI/uvicorn are not available here): same
 endpoints — GET /api/health, /api/videos, /api/meta, POST /api/predict,
 /api/qa, /api/generate-queries — same path-traversal-safe video resolution
-(server.py:57-63), the same single-flight accelerator lock returning 409
-when busy (server.py:53,149-150), and static SPA + /videos mounts.
+(server.py:57-63), and static SPA + /videos mounts. Grounding keeps the
+reference's single-flight accelerator lock returning 409 when busy
+(server.py:53,149-150); QA requests are coalesced into batched decodes
+instead of rejected (net-new — see the coalescer below).
 """
 
 from __future__ import annotations
@@ -114,6 +116,94 @@ def _with_lock(fn):
         _infer_lock.release()
 
 
+# -- QA request coalescing ---------------------------------------------------
+# The reference serves strictly one request at a time: its single-flight
+# lock 409s every concurrent caller (/root/reference/app/server.py:149-150).
+# Grounding keeps that contract (_with_lock above), but QA requests are
+# instead COALESCED: each handler thread enqueues a job and blocks; a drain
+# thread groups up to VGQA_QA_MAX_BATCH pending jobs into ONE lockstep
+# batched decode (vgqa_tpu.inference.qa.predict_many -> QAEngine.chat_batch),
+# so aggregate decode throughput scales with concurrent load instead of
+# rejecting it. A drain of a single job keeps predict()'s sampled decoding;
+# multi-job drains decode greedily (chat_batch contract).
+_QA_MAX_BATCH = max(1, int(os.getenv("VGQA_QA_MAX_BATCH", "4")))
+_QA_QUEUE_TIMEOUT_S = float(os.getenv("VGQA_QA_TIMEOUT_S", "600"))
+_qa_jobs: List[Dict[str, Any]] = []
+_qa_mutex = threading.Lock()
+_qa_worker_alive = False
+
+
+def _run_qa_jobs(jobs: List[Dict[str, Any]]) -> None:
+    try:
+        with _infer_lock:  # blocking: queued work waits for the accelerator
+            if len(jobs) == 1:
+                from vgqa_tpu.inference.qa import predict as qa_predict
+
+                job = jobs[0]
+                try:
+                    job["result"] = qa_predict(
+                        model_dir=QA_MODEL_DIR, **job["request"]
+                    )
+                except Exception as e:  # noqa: BLE001
+                    job["error"] = e
+            else:
+                from vgqa_tpu.inference.qa import predict_many
+
+                results = predict_many(
+                    [j["request"] for j in jobs], model_dir=QA_MODEL_DIR
+                )
+                for job, res in zip(jobs, results):
+                    if isinstance(res, Exception):
+                        job["error"] = res
+                    else:
+                        job["result"] = res
+    except Exception as e:  # noqa: BLE001 - engine-level failure fails all
+        for job in jobs:
+            if job["result"] is None and job["error"] is None:
+                job["error"] = e
+    finally:
+        for job in jobs:
+            job["done"].set()
+
+
+def _qa_drain_loop() -> None:
+    global _qa_worker_alive
+    while True:
+        with _qa_mutex:
+            if not _qa_jobs:
+                _qa_worker_alive = False
+                return
+            batch = _qa_jobs[:_QA_MAX_BATCH]
+            del _qa_jobs[:_QA_MAX_BATCH]
+        _run_qa_jobs(batch)
+
+
+def _submit_qa(request: Dict[str, Any]) -> Dict[str, Any]:
+    global _qa_worker_alive
+    job: Dict[str, Any] = {
+        "request": request,
+        "done": threading.Event(),
+        "result": None,
+        "error": None,
+    }
+    with _qa_mutex:
+        _qa_jobs.append(job)
+        if not _qa_worker_alive:
+            _qa_worker_alive = True
+            threading.Thread(target=_qa_drain_loop, daemon=True).start()
+    if not job["done"].wait(timeout=_QA_QUEUE_TIMEOUT_S):
+        raise HTTPError(504, "QA request timed out in queue")
+    if job["error"] is not None:
+        err = job["error"]
+        # HTTPError and FileNotFoundError keep their pre-coalescer status
+        # mapping (do_POST: FileNotFoundError -> 503 "model dir missing";
+        # the video path was validated before enqueue)
+        if isinstance(err, (HTTPError, FileNotFoundError)):
+            raise err
+        raise HTTPError(500, f"{type(err).__name__}: {err}")
+    return job["result"]
+
+
 # -- endpoint implementations (pure functions for testability) --------------
 def handle_health() -> Dict[str, Any]:
     return {"ok": True}
@@ -151,19 +241,13 @@ def handle_qa(body: Dict[str, Any]) -> Dict[str, Any]:
     if body.get("bound_start") is not None and body.get("bound_end") is not None:
         bound = (body["bound_start"], body["bound_end"])
 
-    def run():
-        from vgqa_tpu.inference.qa import predict as qa_predict
-
-        return qa_predict(
-            str(path),
-            body["question"],
-            bound=bound,
-            model_dir=QA_MODEL_DIR,
-            num_frames=body.get("num_frames", 32),
-            max_new_tokens=body.get("max_tokens", 256),
-        )
-
-    return _with_lock(run)
+    return _submit_qa({
+        "video_path": str(path),
+        "question": body["question"],
+        "bound": bound,
+        "num_frames": body.get("num_frames", 32),
+        "max_new_tokens": body.get("max_tokens", 256),
+    })
 
 
 def handle_generate_queries(body: Dict[str, Any]) -> Dict[str, Any]:
@@ -175,19 +259,13 @@ def handle_generate_queries(body: Dict[str, Any]) -> Dict[str, Any]:
         "'someone waving hand'). List them numbered."
     )
 
-    def run():
-        from vgqa_tpu.inference.qa import predict as qa_predict
-
-        return qa_predict(
-            str(path),
-            question,
-            bound=None,
-            model_dir=QA_MODEL_DIR,
-            num_frames=body.get("num_frames", 64),
-            max_new_tokens=body.get("max_tokens", 300),
-        )
-
-    res = _with_lock(run)
+    res = _submit_qa({
+        "video_path": str(path),
+        "question": question,
+        "bound": None,
+        "num_frames": body.get("num_frames", 64),
+        "max_new_tokens": body.get("max_tokens", 300),
+    })
     answer = res.get("answer", "")
     return {"queries": _parse_queries_from_answer(answer), "raw_answer": answer}
 

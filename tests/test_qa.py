@@ -178,6 +178,30 @@ def test_qa_predict_api(tmp_path):
     assert isinstance(result["answer"], str)
 
 
+def test_qa_predict_many_isolates_bad_slot(tmp_path):
+    """Batched serving: a bad video fails its own slot only, and good
+    slots come back as answers aligned with the request order."""
+    from vgqa_tpu.data.synthetic import write_synthetic_video
+    from vgqa_tpu.inference.qa import predict_many
+
+    video = str(tmp_path / "v.mp4")
+    write_synthetic_video(video, 20, (64, 48), seed=0)
+    results = predict_many(
+        [
+            {"video_path": video, "question": "what moves?",
+             "num_frames": 2, "max_new_tokens": 4},
+            {"video_path": str(tmp_path / "missing.mp4"), "question": "?"},
+            {"video_path": video, "question": "what color?",
+             "num_frames": 2, "max_new_tokens": 4},
+        ],
+        model_dir="__tiny__",
+    )
+    assert len(results) == 3
+    assert set(results[0].keys()) == {"answer"}
+    assert isinstance(results[1], FileNotFoundError)
+    assert set(results[2].keys()) == {"answer"}
+
+
 def test_qa_predict_missing_model_dir(tmp_path):
     from vgqa_tpu.data.synthetic import write_synthetic_video
     from vgqa_tpu.inference.qa import predict

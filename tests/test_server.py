@@ -103,15 +103,68 @@ def test_qa_missing_fields(server):
     assert e.value.code == 422
 
 
-def test_busy_lock_409(server):
+def test_busy_lock_409_grounding(server):
+    """Grounding keeps the reference's single-flight 409 contract."""
     base, mod = server
     assert mod._infer_lock.acquire(blocking=False)
     try:
         with pytest.raises(urllib.error.HTTPError) as e:
-            _post(base + "/api/qa", {"video": "demo.mp4", "question": "?"})
+            _post(base + "/api/predict", {"video": "demo.mp4", "query": "x"})
         assert e.value.code == 409
     finally:
         mod._infer_lock.release()
+
+
+def test_qa_coalesces_concurrent_requests(server):
+    """Concurrent QA requests queue and coalesce into one batched decode
+    (net-new vs the reference, which 409s every concurrent caller)."""
+    import vgqa_tpu.inference.qa as qa_mod
+
+    base, mod = server
+    batch_sizes = []
+    real_many = qa_mod.predict_many
+
+    def spying_many(requests, model_dir=qa_mod.DEFAULT_MODEL_DIR):
+        batch_sizes.append(len(requests))
+        return real_many(requests, model_dir=model_dir)
+
+    qa_mod.predict_many = spying_many
+    # hold the accelerator lock so submitted jobs pile up in the queue,
+    # then release: the drain groups them into one chat_batch call
+    assert mod._infer_lock.acquire(blocking=False)
+    results = [None] * 3
+    try:
+        def call(i):
+            results[i] = _post(
+                base + "/api/qa",
+                {"video": "demo.mp4", "question": f"what moves {i}?",
+                 "num_frames": 2, "max_tokens": 4},
+            )
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        # wait until all three jobs are queued (first may already be
+        # popped by the drain thread, which is then blocked on the lock)
+        for _ in range(200):
+            with mod._qa_mutex:
+                n = len(mod._qa_jobs)
+            if n >= 2:
+                break
+            import time
+
+            time.sleep(0.05)
+    finally:
+        mod._infer_lock.release()
+    for t in threads:
+        t.join(timeout=300)
+    qa_mod.predict_many = real_many
+
+    for status, body in results:
+        assert status == 200
+        assert "answer" in body
+    # at least one drain served >1 request in a single batched decode
+    assert batch_sizes and max(batch_sizes) >= 2, batch_sizes
 
 
 def test_video_range_request(server):

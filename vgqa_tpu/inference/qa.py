@@ -16,7 +16,7 @@ from __future__ import annotations
 import json
 import os
 from functools import lru_cache
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -126,3 +126,55 @@ def predict(
         tiles, question, gen, num_patches_list=num_patches_list
     )
     return {"answer": str(answer)}
+
+
+def predict_many(
+    requests: List[Dict[str, Any]],
+    model_dir: str = DEFAULT_MODEL_DIR,
+) -> List[Any]:
+    """Serve N VideoQA requests with ONE lockstep batched decode.
+
+    ``requests``: dicts with ``video_path`` and ``question`` plus optional
+    ``bound`` / ``num_frames`` / ``max_new_tokens`` / ``input_size`` /
+    ``max_num`` (same meanings as :func:`predict`). Returns a list aligned
+    with ``requests``: each slot is ``{"answer": str}`` or the exception
+    raised while preparing that request — a bad video fails its own slot
+    only, never the batch.
+
+    Net-new over the reference, whose server runs strictly one
+    ``model.chat`` at a time behind a single-flight lock
+    (/root/reference/app/server.py:149-150,236-246): vision encode and
+    prefill run per request into rows of a shared KV cache, then all rows
+    decode together (``QAEngine.chat_batch``), so aggregate decode
+    throughput scales with the coalesced batch. Batched decode is greedy;
+    the shared decode length is the max ``max_new_tokens`` over the batch
+    (per-row EOS still stops each answer independently).
+    """
+    engine = _load_engine(model_dir)
+    tile_size = engine.vit_cfg.image_size
+    out: List[Any] = [None] * len(requests)
+    prepped, slots, max_new = [], [], 1
+    for i, req in enumerate(requests):
+        try:
+            path = req["video_path"]
+            if not os.path.exists(path):
+                raise FileNotFoundError(f"Video not found: {path}")
+            input_size = int(req.get("input_size", 448))
+            tiles, num_patches_list = load_video_tiles(
+                path,
+                bound=req.get("bound"),
+                input_size=tile_size if input_size == 448 else input_size,
+                max_num=int(req.get("max_num", 1)),
+                num_segments=int(req.get("num_frames", 32)),
+            )
+            prepped.append((tiles, req["question"], num_patches_list))
+            slots.append(i)
+            max_new = max(max_new, int(req.get("max_new_tokens", 128)))
+        except Exception as e:  # noqa: BLE001 - per-slot failure isolation
+            out[i] = e
+    if prepped:
+        gen = GenerationConfig(max_new_tokens=max_new, do_sample=False)
+        answers = engine.chat_batch(prepped, gen)
+        for i, ans in zip(slots, answers):
+            out[i] = {"answer": str(ans)}
+    return out
