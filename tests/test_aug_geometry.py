@@ -98,7 +98,15 @@ def ref():
             sys.modules[pkg] = m
     bb = _load_module("vgqa.utils.bounding_boxes", f"{REF}/utils/bounding_boxes.py")
     tr = _load_module("vgqa.data.transforms", f"{REF}/data/transforms.py")
-    return types.SimpleNamespace(T=tr, BoxList=bb.BoxList)
+    yield types.SimpleNamespace(T=tr, BoxList=bb.BoxList)
+    # uninstall the stubs: a lingering spec-less torchvision stub breaks
+    # any later FIRST import of transformers (find_spec raises
+    # "torchvision.__spec__ is None"), and test_fullchain_parity stubs a
+    # different torchvision shape (ops.boxes, no transforms)
+    for name in list(sys.modules):
+        if (name == "torchvision" or name.startswith("torchvision.")
+                or name == "vgqa" or name.startswith("vgqa.")):
+            sys.modules.pop(name, None)
 
 
 def _make_cfg(res=420):

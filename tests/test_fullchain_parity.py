@@ -126,8 +126,17 @@ def ref():
     pp = _load("vgqa.core.postprocessor", f"{REF}/core/postprocessor.py")
     mu = sys.modules["vgqa.core.model_utils"]
     tu = sys.modules["vgqa.utils.training_utils"]
-    return NS(me=me, qd=qd, cl=cl, vpe=vpe, loss=loss, pp=pp, mu=mu,
-              NestedTensor=tu.NestedTensor, BoxList=bb.BoxList)
+    yield NS(me=me, qd=qd, cl=cl, vpe=vpe, loss=loss, pp=pp, mu=mu,
+             NestedTensor=tu.NestedTensor, BoxList=bb.BoxList)
+    # uninstall the stubs: a lingering spec-less torchvision stub breaks
+    # any later FIRST import of transformers (find_spec raises
+    # "torchvision.__spec__ is None"), and its shape must not leak into
+    # other reference-driving test modules that stub different submodules
+    for name in list(sys.modules):
+        if (name == "torchvision" or name.startswith("torchvision.")
+                or name == "vgqa" or name.startswith("vgqa.")
+                or name == "easydict"):
+            sys.modules.pop(name, None)
 
 
 def _build_ref_chain(ref, cfg):
