@@ -64,6 +64,37 @@ def test_train_eval_infer(env):
         assert 0.0 <= v <= 1.0 or k.endswith("kf_p") or k.endswith("kf_r"), (k, v)
 
 
+def test_train_sharded_sp(env, tmp_path):
+    """dp=1 x sp=2 Trainer run: the frame axis of every batch shards over
+    sp (sequence parallel — net-new vs the reference's DDP-only scaling,
+    SURVEY §2.6) end-to-end through the CLI Trainer (TPU.MESH_SP knob)."""
+    _, data_dir, _ = env
+    import sys
+
+    sys.path.insert(0, "tools")
+    import importlib
+
+    from vgqa_tpu.utils.log_setup import setup_logger
+
+    cfg = build_default_cfg()
+    cfg.merge_from_file("configs/grounding_vidstg_tiny.yaml")
+    cfg.DATA_DIR = data_dir
+    cfg.OUTPUT_DIR = str(tmp_path / "out_sp")
+    cfg.DATA_TRUNK = 2
+    cfg.SOLVER.TO_VAL = False
+    cfg.TPU.MESH_DP = 1
+    cfg.TPU.MESH_SP = 2
+
+    train_mod = importlib.import_module("train")
+    trainer = train_mod.Trainer(cfg, setup_logger("sp-test", ""), seed=0)
+    trainer.setup()
+    assert dict(trainer.mesh.shape) == {"dp": 1, "sp": 2, "tp": 1}
+    trainer.fit()
+    assert int(trainer.state.step) == 2
+    v_sh, _, _ = trainer._sp_shards
+    assert "sp" in str(v_sh.frames.spec)  # frame axis genuinely sharded
+
+
 def test_checkpoint_resume(env):
     cfg, data_dir, out_dir = env
     import jax

@@ -32,6 +32,7 @@ from vgqa_tpu.parallel import (
     build_mesh,
     initialize_multihost,
     put_global_batch,
+    sp_batch_shardings,
 )
 from vgqa_tpu.training import (
     CheckpointManager,
@@ -52,9 +53,13 @@ class Trainer:
 
     def setup(self):
         c = self.cfg
-        self.mesh = build_mesh(dp=c.TPU.MESH_DP, tp=c.TPU.MESH_TP)
+        self.mesh = build_mesh(dp=c.TPU.MESH_DP, tp=c.TPU.MESH_TP,
+                               sp=c.TPU.MESH_SP)
         dp = self.mesh.shape["dp"]
-        self.logger.info(f"Mesh: dp={dp}, tp={self.mesh.shape['tp']}")
+        self.logger.info(
+            f"Mesh: dp={dp}, sp={self.mesh.shape['sp']}, "
+            f"tp={self.mesh.shape['tp']}"
+        )
 
         self.model, self.loss_fn, self.weight_dict = build_model(c)
 
@@ -134,6 +139,7 @@ class Trainer:
         donate = (0,) if c.TPU.DONATE else ()
         self.step_fn = jax.jit(step_fn, donate_argnums=donate)
         self.batch_shard = batch_sharding(self.mesh)
+        self._sp_shards = None
 
     def fit(self):
         c = self.cfg
@@ -160,9 +166,21 @@ class Trainer:
                     jax.profiler.stop_trace()
                     profiling = False
                     self.logger.info(f"Wrote profile to {c.TPU.PROFILE_DIR}")
-            video = put_global_batch(batch["video"], self.batch_shard)
-            text = put_global_batch(batch["text"], self.batch_shard)
-            targets = put_global_batch(batch["targets"], self.batch_shard)
+            if self.mesh.shape["sp"] > 1:
+                # sequence parallel: the clip's frame axis shards over sp
+                # (batch shapes are static, so the sharding trees are built
+                # once from the first batch)
+                if self._sp_shards is None:
+                    self._sp_shards = sp_batch_shardings(
+                        self.mesh, batch["video"], batch["text"],
+                        batch["targets"],
+                    )
+                v_sh, t_sh, tg_sh = self._sp_shards
+            else:
+                v_sh = t_sh = tg_sh = self.batch_shard
+            video = put_global_batch(batch["video"], v_sh)
+            text = put_global_batch(batch["text"], t_sh)
+            targets = put_global_batch(batch["targets"], tg_sh)
             with self.mesh:
                 self.state, metrics = self.step_fn(
                     self.state, video, text, targets, rng

@@ -177,6 +177,7 @@ def _tpu_cfg() -> Cfg:
     t.PARAM_DTYPE = "float32"
     t.MESH_DP = 0                   # 0 = all devices on the data axis
     t.MESH_TP = 1                   # tensor-parallel width (model axis)
+    t.MESH_SP = 1                   # sequence-parallel width (frame axis)
     # fused Pallas kernels on the serving path (Swin block megakernel);
     # training keeps the differentiable XLA path regardless
     t.USE_PALLAS_ATTENTION = True

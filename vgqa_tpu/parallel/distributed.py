@@ -87,15 +87,25 @@ def put_global_batch(tree: Any, sharding) -> Any:
     slice, so leaves are stitched into global ``jax.Array``s with
     ``make_array_from_process_local_data`` — the replacement for the
     reference's per-rank ``.cuda()`` upload (tools/train.py:201-216),
-    which only ever sees rank-local tensors."""
+    which only ever sees rank-local tensors.
+
+    ``sharding`` is a single Sharding applied to every leaf, or a pytree of
+    Shardings matching ``tree`` (the sequence-parallel path, where the frame
+    axis shards on ``sp`` for [V, T, ...] fields only)."""
     import numpy as np
 
     if jax.process_count() <= 1:
         return jax.device_put(tree, sharding)
+    if isinstance(sharding, jax.sharding.Sharding):
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
     return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(
-            sharding, np.asarray(x)
-        ),
+        lambda s, x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+        sharding,
         tree,
     )
 
