@@ -60,6 +60,16 @@ class Trainer:
             f"Mesh: dp={dp}, sp={self.mesh.shape['sp']}, "
             f"tp={self.mesh.shape['tp']}"
         )
+        if jax.process_count() > 1:
+            # the loader shards by video (dp); one video's sp x tp block
+            # must stay process-local or make_array_from_process_local_data
+            # cannot assemble it from per-process slices
+            block = self.mesh.shape["sp"] * self.mesh.shape["tp"]
+            assert jax.local_device_count() % block == 0, (
+                f"sp*tp={block} must divide the {jax.local_device_count()} "
+                "process-local devices: the sp/tp shards of one video live "
+                "on one host; scale across hosts with dp"
+            )
 
         self.model, self.loss_fn, self.weight_dict = build_model(c)
 
