@@ -192,6 +192,14 @@ def _submit_qa(request: Dict[str, Any]) -> Dict[str, Any]:
             _qa_worker_alive = True
             threading.Thread(target=_qa_drain_loop, daemon=True).start()
     if not job["done"].wait(timeout=_QA_QUEUE_TIMEOUT_S):
+        # withdraw the job if it is still queued so the drain thread does
+        # not spend a decode slot computing an answer nobody will read
+        # (if it is already in flight, the result is simply discarded)
+        with _qa_mutex:
+            try:
+                _qa_jobs.remove(job)
+            except ValueError:
+                pass
         raise HTTPError(504, "QA request timed out in queue")
     if job["error"] is not None:
         err = job["error"]

@@ -60,6 +60,11 @@ struct Decoder {
     if (fmt) avformat_close_input(&fmt);
   }
 
+  // avcodec frame-threading: 0 = auto (core count). Range-sliced decode
+  // passes a divided budget so k contexts don't each spawn ncores threads
+  // (O(ncores^2) oversubscription on many-core serving hosts).
+  int codec_threads = 0;
+
   int open(const char* path) {
     if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
     if (avformat_find_stream_info(fmt, nullptr) < 0) return -2;
@@ -71,7 +76,7 @@ struct Decoder {
     if (!dec) return -4;
     codec = avcodec_alloc_context3(dec);
     if (avcodec_parameters_to_context(codec, st->codecpar) < 0) return -5;
-    codec->thread_count = 0;  // auto
+    codec->thread_count = codec_threads;
     if (avcodec_open2(codec, dec, nullptr) < 0) return -6;
 
     width = codec->width;
@@ -112,8 +117,9 @@ struct Decoder {
 // bytes are the serving bottleneck).
 int decode_range(const char* path, const std::vector<long>& uniq, size_t lo,
                  size_t hi, std::vector<std::vector<uint8_t>>& decoded,
-                 int out_w, int out_h, int yuv) {
+                 int out_w, int out_h, int yuv, int codec_threads) {
   Decoder d;
+  d.codec_threads = codec_threads;
   int rc = d.open(path);
   if (rc != 0) return rc;
   if (out_w <= 0) out_w = d.width;
@@ -264,10 +270,15 @@ int read_frames_impl(const char* path, const long* frame_ids, int n,
   k = std::max<size_t>(k, 1);
 
   if (k == 1) {
-    int rc =
-        decode_range(path, uniq, 0, uniq.size(), decoded, out_w, out_h, yuv);
+    int rc = decode_range(path, uniq, 0, uniq.size(), decoded, out_w, out_h,
+                          yuv, /*codec_threads=*/0);
     if (rc != 0) return rc;
   } else {
+    // split the core budget across the k range decoders: each codec gets
+    // ~ncores/k frame threads instead of ncores each (which would put
+    // O(ncores^2) threads on a many-core host)
+    unsigned hc = std::thread::hardware_concurrency();
+    int per_ctx = hc ? std::max(1, (int)(hc / k)) : 1;
     std::vector<std::thread> threads;
     std::vector<int> rcs(k, 0);
     size_t per = (uniq.size() + k - 1) / k;
@@ -276,7 +287,8 @@ int read_frames_impl(const char* path, const long* frame_ids, int n,
       size_t hi = std::min(uniq.size(), lo + per);
       if (lo >= hi) break;
       threads.emplace_back([&, t, lo, hi]() {
-        rcs[t] = decode_range(path, uniq, lo, hi, decoded, out_w, out_h, yuv);
+        rcs[t] = decode_range(path, uniq, lo, hi, decoded, out_w, out_h, yuv,
+                              per_ctx);
       });
     }
     for (auto& th : threads) th.join();

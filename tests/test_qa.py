@@ -202,6 +202,30 @@ def test_qa_predict_many_isolates_bad_slot(tmp_path):
     assert set(results[2].keys()) == {"answer"}
 
 
+def test_qa_predict_many_isolates_overlong_prompt(tmp_path):
+    """A request whose prompt exceeds the model context fails its OWN slot
+    (pre-validated before chat_batch), not every coalesced request."""
+    from vgqa_tpu.data.synthetic import write_synthetic_video
+    from vgqa_tpu.inference.qa import predict_many
+
+    video = str(tmp_path / "v.mp4")
+    write_synthetic_video(video, 20, (64, 48), seed=0)
+    results = predict_many(
+        [
+            {"video_path": video, "question": "what moves?",
+             "num_frames": 2, "max_new_tokens": 4},
+            # the tiny engine's context is 512 tokens and its tiny ViT
+            # emits 4 tokens/tile; 200 frames of image+template tokens
+            # blow past it
+            {"video_path": video, "question": "?", "num_frames": 200},
+        ],
+        model_dir="__tiny__",
+    )
+    assert set(results[0].keys()) == {"answer"}
+    assert isinstance(results[1], ValueError)
+    assert "context" in str(results[1])
+
+
 def test_qa_predict_missing_model_dir(tmp_path):
     from vgqa_tpu.data.synthetic import write_synthetic_video
     from vgqa_tpu.inference.qa import predict

@@ -302,3 +302,27 @@ def test_train_step_mixed_precision(model_and_params):
     p1 = np.concatenate([np.ravel(x) for x in jax.tree.leaves(
         s_b1.params["params"]["ground_encoder"])])
     assert np.abs(p0 - p1).max() > 0
+
+
+def test_build_mesh_rejects_impossible_shapes():
+    """sp*tp exceeding the device count must fail with the guard's message,
+    not silently build a zero-device mesh (dp would compute to 0)."""
+    import pytest
+
+    from vgqa_tpu.parallel import build_mesh
+
+    with pytest.raises(AssertionError, match="devices"):
+        build_mesh(sp=16)  # 8 virtual CPU devices -> dp = 0
+
+
+def test_sp_disables_pallas_route():
+    """The Pallas megakernel is an opaque Mosaic call GSPMD cannot shard:
+    with MESH_SP > 1 the model config must route to the partitionable
+    inline XLA attention instead."""
+    from vgqa_tpu.config import build_default_cfg
+    from vgqa_tpu.models import GroundingConfig
+
+    cfg = build_default_cfg()
+    assert GroundingConfig.from_cfg(cfg).use_pallas_attention
+    cfg.TPU.MESH_SP = 2
+    assert not GroundingConfig.from_cfg(cfg).use_pallas_attention

@@ -167,6 +167,17 @@ def predict_many(
                 max_num=int(req.get("max_num", 1)),
                 num_segments=int(req.get("num_frames", 32)),
             )
+            # pre-validate the prompt so an over-long request fails its own
+            # slot here rather than raising out of chat_batch and failing
+            # every coalesced request (engine.chat_batch re-derives the ids;
+            # tokenization is negligible next to the decode)
+            ids, _ = engine.build_prompt_ids(
+                req["question"], num_patches_list)
+            if len(ids) > engine.max_seq_len:
+                raise ValueError(
+                    f"prompt is {len(ids)} tokens but the model's context "
+                    f"is {engine.max_seq_len}; reduce num_frames or tiles"
+                )
             prepped.append((tiles, req["question"], num_patches_list))
             slots.append(i)
             max_new = max(max_new, int(req.get("max_new_tokens", 128)))

@@ -90,7 +90,13 @@ class GroundingConfig:
             freeze_text=m.TEXT_MODEL.FREEZE,
             text=text,
             use_aux_loss=cfg.SOLVER.USE_AUX_LOSS,
-            use_pallas_attention=cfg.TPU.USE_PALLAS_ATTENTION,
+            # the Pallas megakernel is an opaque Mosaic call GSPMD cannot
+            # partition: under sequence parallelism (frame axis sharded on
+            # sp) it would replicate the full clip per chip, defeating sp —
+            # the inline XLA attention partitions correctly, so route there
+            use_pallas_attention=(
+                cfg.TPU.USE_PALLAS_ATTENTION and cfg.TPU.MESH_SP <= 1
+            ),
             remat=cfg.TPU.REMAT,
         )
 

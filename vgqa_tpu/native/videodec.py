@@ -38,15 +38,19 @@ def _load() -> Optional[ctypes.CDLL]:
     if _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH) and os.path.exists(
-        os.path.join(_SRC_DIR, "videodec.cpp")
-    ):
+    # always run make: it is a no-op when libvideodec.so is newer than the
+    # source, and rebuilds a stale .so from an older revision that would
+    # otherwise be missing the newest entry points (dlopen would then fail
+    # symbol binding and silently disable the whole native decoder)
+    if os.path.exists(os.path.join(_SRC_DIR, "videodec.cpp")):
         _build()
     if not os.path.exists(_LIB_PATH):
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
+        return None
+    if not hasattr(lib, "vd_read_frames_scaled_yuv_mt"):
         return None
     lib.vd_info.argtypes = [
         ctypes.c_char_p,

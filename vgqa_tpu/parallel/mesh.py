@@ -36,7 +36,9 @@ def build_mesh(dp: int = 0, tp: int = 1, sp: int = 1, devices=None) -> Mesh:
     n = len(devices)
     if dp <= 0:
         dp = n // (tp * sp)
-    assert dp * sp * tp <= n, f"mesh {dp}x{sp}x{tp} needs more than {n} devices"
+    assert dp >= 1 and dp * sp * tp <= n, (
+        f"mesh dp={dp} x sp={sp} x tp={tp} needs more than {n} devices"
+    )
     arr = np.asarray(devices[: dp * sp * tp]).reshape(dp, sp, tp)
     return Mesh(arr, ("dp", "sp", "tp"))
 
@@ -103,13 +105,18 @@ def sp_batch_shardings(mesh: Mesh, video, text, targets=None):
     dp_sp = NamedSharding(mesh, P("dp", "sp"))
 
     def pick(name: str, leaf) -> NamedSharding:
-        if (
-            sp > 1
-            and name in _TIME_DIM1_FIELDS
-            and leaf.ndim >= 2
-            and leaf.shape[1] % sp == 0
-        ):
-            return dp_sp
+        if sp > 1 and name in _TIME_DIM1_FIELDS and leaf.ndim >= 2:
+            if leaf.shape[1] % sp == 0:
+                return dp_sp
+            # replicating across a reserved sp axis silently wastes sp-1
+            # of every sp devices — surface the misconfiguration loudly
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "sp=%d does not divide the frame axis of %r (T=%d): "
+                "falling back to dp-only sharding; the sp axis does no "
+                "work for this field", sp, name, leaf.shape[1],
+            )
         return dp_only
 
     video_sh = type(video)(
