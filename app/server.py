@@ -124,8 +124,9 @@ def _with_lock(fn):
 # thread groups up to VGQA_QA_MAX_BATCH pending jobs into ONE lockstep
 # batched decode (vgqa_tpu.inference.qa.predict_many -> QAEngine.chat_batch),
 # so aggregate decode throughput scales with concurrent load instead of
-# rejecting it. A drain of a single job keeps predict()'s sampled decoding;
-# multi-job drains decode greedily (chat_batch contract).
+# rejecting it. Every job keeps its own generation settings (sampled rows
+# use independent per-row RNG streams), so coalescing never changes what a
+# request would have answered solo.
 _QA_MAX_BATCH = max(1, int(os.getenv("VGQA_QA_MAX_BATCH", "4")))
 _QA_QUEUE_TIMEOUT_S = float(os.getenv("VGQA_QA_TIMEOUT_S", "600"))
 _qa_jobs: List[Dict[str, Any]] = []

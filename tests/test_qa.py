@@ -164,6 +164,44 @@ def test_chat_batch_matches_sequential(tiny_engine):
     assert stats["batch"] == 2
 
 
+def test_chat_batch_sampled_matches_solo():
+    """Per-row sampled batched decode: row b's RNG stream is
+    fold_in(rng, b) with the same split chain as the solo sampler, so a
+    sampled request answers identically whether it was coalesced or not —
+    including mixed batches where another row is greedy or has a different
+    max_new_tokens."""
+    import jax
+
+    eng = QAEngine.init_random(LLMConfig.tiny(), ViTConfig.tiny())
+    s = eng.vit_cfg.image_size
+    rng = np.random.RandomState(7)
+    reqs = [
+        (rng.randint(0, 256, (1, s, s, 3), dtype=np.uint8), "what moves?"),
+        (rng.randint(0, 256, (1, s, s, 3), dtype=np.uint8), "what color?"),
+        (rng.randint(0, 256, (2, s, s, 3), dtype=np.uint8),
+         "describe the scene", [1, 1]),
+    ]
+    gens = [
+        GenerationConfig(max_new_tokens=8, do_sample=True, temperature=0.9,
+                         top_p=0.95),
+        GenerationConfig(max_new_tokens=4, do_sample=False),
+        GenerationConfig(max_new_tokens=6, do_sample=True, temperature=0.5,
+                         top_p=0.8),
+    ]
+    base = jax.random.PRNGKey(42)
+    solo = [
+        eng.chat(r[0], r[1], g,
+                 num_patches_list=list(r[2]) if len(r) > 2 else None,
+                 rng=jax.random.fold_in(base, b))
+        for b, (r, g) in enumerate(zip(reqs, gens))
+    ]
+    batched = eng.chat_batch(reqs, gens=gens, rng=base)
+    assert batched == solo
+    # per-row token caps hold despite the shared scan length (byte
+    # tokenizer: <= 1 char per token)
+    assert len(batched[1]) <= 4
+
+
 def test_qa_predict_api(tmp_path):
     from vgqa_tpu.data.synthetic import write_synthetic_video
     from vgqa_tpu.inference.qa import predict

@@ -146,14 +146,15 @@ def predict_many(
     (/root/reference/app/server.py:149-150,236-246): vision encode and
     prefill run per request into rows of a shared KV cache, then all rows
     decode together (``QAEngine.chat_batch``), so aggregate decode
-    throughput scales with the coalesced batch. Batched decode is greedy;
-    the shared decode length is the max ``max_new_tokens`` over the batch
-    (per-row EOS still stops each answer independently).
+    throughput scales with the coalesced batch. Each row keeps its own
+    ``max_new_tokens`` / ``temperature`` / ``top_p`` (same defaults as
+    :func:`predict`) with an independent RNG stream, so coalescing does
+    not change any request's generation behavior.
     """
     engine = _load_engine(model_dir)
     tile_size = engine.vit_cfg.image_size
     out: List[Any] = [None] * len(requests)
-    prepped, slots, max_new = [], [], 1
+    prepped, slots, gens = [], [], []
     for i, req in enumerate(requests):
         try:
             path = req["video_path"]
@@ -180,12 +181,17 @@ def predict_many(
                 )
             prepped.append((tiles, req["question"], num_patches_list))
             slots.append(i)
-            max_new = max(max_new, int(req.get("max_new_tokens", 128)))
+            temp = float(req.get("temperature", 0.2))
+            gens.append(GenerationConfig(
+                max_new_tokens=int(req.get("max_new_tokens", 128)),
+                temperature=max(temp, 0.01),
+                top_p=float(req.get("top_p", 0.9)),
+                do_sample=temp > 0,
+            ))
         except Exception as e:  # noqa: BLE001 - per-slot failure isolation
             out[i] = e
     if prepped:
-        gen = GenerationConfig(max_new_tokens=max_new, do_sample=False)
-        answers = engine.chat_batch(prepped, gen)
+        answers = engine.chat_batch(prepped, gens=gens)
         for i, ans in zip(slots, answers):
             out[i] = {"answer": str(ans)}
     return out

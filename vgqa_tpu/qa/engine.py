@@ -146,6 +146,9 @@ class QAEngine:
         self._greedy_batch = jax.jit(
             self._greedy_batch_impl, static_argnums=(5,), donate_argnums=(1,)
         )
+        self._sample_batch = jax.jit(
+            self._sample_batch_impl, static_argnums=(5,), donate_argnums=(1,)
+        )
 
     # -- params init (random; converters fill real weights) ----------------
     @classmethod
@@ -324,12 +327,14 @@ class QAEngine:
         return tokens  # [max_new_tokens], -1 past the stop
 
     def _greedy_batch_impl(self, params, cache, first_logits, positions,
-                           stop_ids, max_new_tokens):
+                           stop_ids, max_new_tokens, limits):
         """Lockstep batched greedy decode: B concurrent requests share one
         device program, each owning one KV-cache row and advancing its own
         position (prompt lengths differ per request). A finished row keeps
         riding the batch (its emits are -1) until every row stops — decode
-        throughput scales with B while latency stays one scan.
+        throughput scales with B while latency stays one scan. ``limits``
+        [B] caps each row at ITS OWN requested max_new_tokens (the scan
+        length is the batch max).
 
         Net-new vs the reference, which serves strictly one request at a
         time (/root/reference/app/server.py's single-flight lock around
@@ -338,12 +343,12 @@ class QAEngine:
 
         S = cache[0][0].shape[2]
 
-        def step(carry, _):
+        def step(carry, t):
             cache, logits, position, done = carry
             next_id = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # [B]
             is_stop = jnp.any(
                 next_id[:, None] == stop_ids[None, :], axis=-1
-            ) | (position >= S - 1)
+            ) | (position >= S - 1) | (t >= limits)
             emit = jnp.where(done | is_stop, -1, next_id)
             embeds = embed_tokens(
                 params["embed"], self.llm_cfg, emit[:, None]
@@ -358,7 +363,67 @@ class QAEngine:
 
         done0 = jnp.zeros(first_logits.shape[0], bool)
         init = (cache, first_logits, positions, done0)
-        _, tokens = jax.lax.scan(step, init, None, length=max_new_tokens)
+        _, tokens = jax.lax.scan(
+            step, init, jnp.arange(max_new_tokens), length=max_new_tokens
+        )
+        return tokens  # [max_new_tokens, B]
+
+    def _sample_batch_impl(self, params, cache, first_logits, positions,
+                           stop_ids, max_new_tokens, limits, keys, temps,
+                           top_ps):
+        """Lockstep batched decode with PER-ROW nucleus sampling.
+
+        Each row owns an independent RNG stream (``keys`` [B]), its own
+        temperature/top_p, and its own token cap (``limits``); a row with
+        ``temps[b] <= 0`` decodes greedily. The per-row split chain matches
+        :meth:`_sample_loop_impl` exactly, so a batched row reproduces the
+        solo sampled answer for the same rng — coalesced serving is
+        behavior-identical to solo serving (tests/test_qa.py)."""
+        from .llm_functional import embed_tokens, llm_forward
+
+        S = cache[0][0].shape[2]
+
+        def pick_row(logits, key, temperature, top_p):
+            scaled = logits.astype(jnp.float32) / jnp.maximum(
+                temperature, 0.01)
+            sorted_logits = jnp.sort(scaled)[::-1]
+            probs = jax.nn.softmax(sorted_logits)
+            cum = jnp.cumsum(probs)
+            cutoff_idx = jnp.sum(cum < top_p)
+            cutoff = sorted_logits[
+                jnp.minimum(cutoff_idx, scaled.shape[0] - 1)]
+            masked = jnp.where(scaled >= cutoff, scaled, -jnp.inf)
+            sampled = jax.random.categorical(key, masked).astype(jnp.int32)
+            greedy = jnp.argmax(logits).astype(jnp.int32)
+            return jnp.where(temperature > 0, sampled, greedy)
+
+        pick = jax.vmap(pick_row)
+
+        def step(carry, t):
+            cache, logits, position, done, keys = carry
+            splits = jax.vmap(jax.random.split)(keys)      # [B, 2, key]
+            new_keys, subs = splits[:, 0], splits[:, 1]
+            next_id = pick(logits, subs, temps, top_ps)    # [B]
+            is_stop = jnp.any(
+                next_id[:, None] == stop_ids[None, :], axis=-1
+            ) | (position >= S - 1) | (t >= limits)
+            emit = jnp.where(done | is_stop, -1, next_id)
+            embeds = embed_tokens(
+                params["embed"], self.llm_cfg, emit[:, None]
+            )
+            mask = (jnp.arange(S)[None, None, :] <= position[:, None, None])
+            new_logits, new_cache = llm_forward(
+                params["llm"], self.llm_cfg, embeds,
+                position[:, None], mask, cache=cache, cache_index=position,
+            )
+            return (new_cache, new_logits[:, 0], position + 1,
+                    done | is_stop, new_keys), emit
+
+        done0 = jnp.zeros(first_logits.shape[0], bool)
+        init = (cache, first_logits, positions, done0, keys)
+        _, tokens = jax.lax.scan(
+            step, init, jnp.arange(max_new_tokens), length=max_new_tokens
+        )
         return tokens  # [max_new_tokens, B]
 
     def _sample_loop_impl(self, params, cache, first_logits, start_position,
@@ -554,6 +619,8 @@ class QAEngine:
         self,
         requests,
         gen: Optional[GenerationConfig] = None,
+        gens: Optional[List[GenerationConfig]] = None,
+        rng: Optional[jax.Array] = None,
         return_stats: bool = False,
     ):
         """Serve B requests concurrently with one lockstep batched decode.
@@ -563,18 +630,25 @@ class QAEngine:
         (flash/chunked) prefill run per request — each into its own row of
         a shared [B, ...] KV cache — then every row decodes together in a
         single scan program, so aggregate decode throughput scales with B.
-        Greedy only (batched nucleus sampling would need per-row RNG lanes;
-        the reference's serving path is greedy too once temperature=0).
-        Returns a list of answers (plus a stats dict with
-        ``return_stats``).
+        ``gens`` (one GenerationConfig per request) gives each row its own
+        max_new_tokens / temperature / top_p; sampled rows draw from
+        independent per-row RNG streams (``fold_in(rng, row)``) whose split
+        chain matches the solo sampler, so batching does not change any
+        row's answer. ``gen`` applies one config to every row. Returns a
+        list of answers (plus a stats dict with ``return_stats``).
 
         Net-new vs the reference, which serves strictly one request at a
         time (its server wraps ``model.chat`` in a single-flight lock)."""
         import time as _time
 
-        gen = gen or GenerationConfig()
-        if gen.do_sample and gen.temperature > 0:
-            raise ValueError("chat_batch is greedy-only; set do_sample=False")
+        if gens is not None:
+            if len(gens) != len(requests):
+                raise ValueError(
+                    f"{len(gens)} generation configs for "
+                    f"{len(requests)} requests"
+                )
+        else:
+            gens = [gen or GenerationConfig()] * len(requests)
         if not requests:
             return ([], {}) if return_stats else []
 
@@ -606,7 +680,8 @@ class QAEngine:
         # the same jitted program (shorter rows pad; their cache rows are
         # masked by per-row positions during decode)
         Lp, chunked = self._plan_prefill(max(p[3] for p in prepped))
-        max_total = min(self.max_seq_len, Lp + gen.max_new_tokens)
+        max_new = max(g.max_new_tokens for g in gens)
+        max_total = min(self.max_seq_len, Lp + max_new)
 
         rows = []
         for vision_tokens, ids, img_positions, length in prepped:
@@ -632,10 +707,26 @@ class QAEngine:
         positions = jnp.asarray([r[2] for r in rows], jnp.int32)
         tok = self.tokenizer
         stop_ids = jnp.asarray([tok.EOS, tok.IM_END], jnp.int32)
-        tokens = self._greedy_batch(
-            self.params, batch_cache, first_logits, positions, stop_ids,
-            gen.max_new_tokens,
-        )
+        limits = jnp.asarray([g.max_new_tokens for g in gens], jnp.int32)
+        sampled = [bool(g.do_sample and g.temperature > 0) for g in gens]
+        if any(sampled):
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            keys = jax.vmap(lambda b: jax.random.fold_in(rng, b))(
+                jnp.arange(len(gens))
+            )
+            temps = jnp.asarray(
+                [g.temperature if s else 0.0
+                 for g, s in zip(gens, sampled)], jnp.float32)
+            top_ps = jnp.asarray([g.top_p for g in gens], jnp.float32)
+            tokens = self._sample_batch(
+                self.params, batch_cache, first_logits, positions, stop_ids,
+                max_new, limits, keys, temps, top_ps,
+            )
+        else:
+            tokens = self._greedy_batch(
+                self.params, batch_cache, first_logits, positions, stop_ids,
+                max_new, limits,
+            )
         tokens = np.asarray(tokens)                   # [max_new, B]
         answers = [
             tok.decode([int(t) for t in tokens[:, b] if t >= 0])
@@ -649,7 +740,8 @@ class QAEngine:
                 # aggregate tokens over the FULL batch call (vision +
                 # prefill + lockstep decode) — not comparable to chat()'s
                 # decode-phase-only decode_tok_s
-                "agg_tok_s_e2e": len(requests) * gen.max_new_tokens / dt,
+                "agg_tok_s_e2e": sum(
+                    g.max_new_tokens for g in gens) / dt,
             }
             return answers, stats
         return answers
