@@ -4,10 +4,11 @@ Parity with the reference FastAPI app (/root/reference/app/server.py:45-298)
 on the Python stdlib (FastAPI/uvicorn are not available here): same
 endpoints — GET /api/health, /api/videos, /api/meta, POST /api/predict,
 /api/qa, /api/generate-queries — same path-traversal-safe video resolution
-(server.py:57-63), and static SPA + /videos mounts. Grounding keeps the
-reference's single-flight accelerator lock returning 409 when busy
-(server.py:53,149-150); QA requests are coalesced into batched decodes
-instead of rejected (net-new — see the coalescer below).
+(server.py:57-63), and static SPA + /videos mounts. Where the reference's
+single-flight accelerator lock 409s every concurrent caller
+(server.py:53,149-150), BOTH inference endpoints here coalesce concurrent
+requests into batched accelerator calls instead of rejecting them
+(net-new — see the coalescer below).
 """
 
 from __future__ import annotations
@@ -107,110 +108,127 @@ def _parse_queries_from_answer(answer: str) -> List[str]:
     return queries[:20]
 
 
-def _with_lock(fn):
-    if not _infer_lock.acquire(blocking=False):
-        raise HTTPError(409, "Another inference is in progress. Please wait.")
-    try:
-        return fn()
-    finally:
-        _infer_lock.release()
-
-
-# -- QA request coalescing ---------------------------------------------------
+# -- request coalescing -------------------------------------------------------
 # The reference serves strictly one request at a time: its single-flight
 # lock 409s every concurrent caller (/root/reference/app/server.py:149-150).
-# Grounding keeps that contract (_with_lock above), but QA requests are
-# instead COALESCED: each handler thread enqueues a job and blocks; a drain
-# thread groups up to VGQA_QA_MAX_BATCH pending jobs into ONE lockstep
-# batched decode (vgqa_tpu.inference.qa.predict_many -> QAEngine.chat_batch),
-# so aggregate decode throughput scales with concurrent load instead of
-# rejecting it. Every job keeps its own generation settings (sampled rows
-# use independent per-row RNG streams), so coalescing never changes what a
-# request would have answered solo.
-_QA_MAX_BATCH = max(1, int(os.getenv("VGQA_QA_MAX_BATCH", "4")))
-_QA_QUEUE_TIMEOUT_S = float(os.getenv("VGQA_QA_TIMEOUT_S", "600"))
-_qa_jobs: List[Dict[str, Any]] = []
-_qa_mutex = threading.Lock()
-_qa_worker_alive = False
+# Here BOTH inference endpoints COALESCE instead: each handler thread
+# enqueues a job and blocks; a drain thread groups up to max_batch pending
+# jobs into ONE batched accelerator call —
+#   * QA: lockstep batched decode (vgqa_tpu.inference.qa.predict_many ->
+#     QAEngine.chat_batch); every job keeps its own generation settings
+#     (sampled rows use independent per-row RNG streams), so coalescing
+#     never changes what a request would have answered solo.
+#   * Grounding: videos sharing a frame count ride ONE V=2N forward
+#     (vgqa_tpu.inference.grounding.predict_many) — at 420px batch 2
+#     videos run at the latency of one (BASELINE.md), doubling aggregate
+#     throughput under concurrent load.
+# Aggregate throughput scales with concurrent load instead of rejecting it.
 
 
-def _run_qa_jobs(jobs: List[Dict[str, Any]]) -> None:
-    try:
-        with _infer_lock:  # blocking: queued work waits for the accelerator
-            if len(jobs) == 1:
-                from vgqa_tpu.inference.qa import predict as qa_predict
+class _Coalescer:
+    """Queue + drain-thread request coalescer around a batched runner.
 
-                job = jobs[0]
-                try:
-                    job["result"] = qa_predict(
-                        model_dir=QA_MODEL_DIR, **job["request"]
-                    )
-                except Exception as e:  # noqa: BLE001
+    ``run_batch(requests) -> list[result | Exception]`` executes one
+    drained batch (aligned with its input); per-slot Exceptions fail only
+    their own caller."""
+
+    def __init__(self, max_batch: int, timeout_s: float, run_batch):
+        self.max_batch = max(1, max_batch)
+        self.timeout_s = timeout_s
+        self.run_batch = run_batch
+        self._jobs: List[Dict[str, Any]] = []
+        self._mutex = threading.Lock()
+        self._alive = False
+
+    def _run_jobs(self, jobs: List[Dict[str, Any]]) -> None:
+        try:
+            with _infer_lock:  # queued work waits for the accelerator
+                results = self.run_batch([j["request"] for j in jobs])
+            for job, res in zip(jobs, results):
+                if isinstance(res, Exception):
+                    job["error"] = res
+                else:
+                    job["result"] = res
+        except Exception as e:  # noqa: BLE001 - engine failure fails all
+            for job in jobs:
+                if job["result"] is None and job["error"] is None:
                     job["error"] = e
-            else:
-                from vgqa_tpu.inference.qa import predict_many
+        finally:
+            for job in jobs:
+                job["done"].set()
 
-                results = predict_many(
-                    [j["request"] for j in jobs], model_dir=QA_MODEL_DIR
-                )
-                for job, res in zip(jobs, results):
-                    if isinstance(res, Exception):
-                        job["error"] = res
-                    else:
-                        job["result"] = res
-    except Exception as e:  # noqa: BLE001 - engine-level failure fails all
-        for job in jobs:
-            if job["result"] is None and job["error"] is None:
-                job["error"] = e
-    finally:
-        for job in jobs:
-            job["done"].set()
+    def _drain_loop(self) -> None:
+        while True:
+            with self._mutex:
+                if not self._jobs:
+                    self._alive = False
+                    return
+                batch = self._jobs[: self.max_batch]
+                del self._jobs[: self.max_batch]
+            self._run_jobs(batch)
+
+    def submit(self, request: Dict[str, Any]) -> Dict[str, Any]:
+        job: Dict[str, Any] = {
+            "request": request,
+            "done": threading.Event(),
+            "result": None,
+            "error": None,
+        }
+        with self._mutex:
+            self._jobs.append(job)
+            if not self._alive:
+                self._alive = True
+                threading.Thread(target=self._drain_loop,
+                                 daemon=True).start()
+        if not job["done"].wait(timeout=self.timeout_s):
+            # withdraw the job if it is still queued so the drain thread
+            # does not spend an accelerator slot computing an answer nobody
+            # will read (if already in flight, the result is discarded)
+            with self._mutex:
+                try:
+                    self._jobs.remove(job)
+                except ValueError:
+                    pass
+            raise HTTPError(504, "request timed out in queue")
+        if job["error"] is not None:
+            err = job["error"]
+            # HTTPError and FileNotFoundError keep their pre-coalescer
+            # status mapping (do_POST: FileNotFoundError -> 503 "model dir
+            # missing"; video paths were validated before enqueue)
+            if isinstance(err, (HTTPError, FileNotFoundError)):
+                raise err
+            raise HTTPError(500, f"{type(err).__name__}: {err}")
+        return job["result"]
 
 
-def _qa_drain_loop() -> None:
-    global _qa_worker_alive
-    while True:
-        with _qa_mutex:
-            if not _qa_jobs:
-                _qa_worker_alive = False
-                return
-            batch = _qa_jobs[:_QA_MAX_BATCH]
-            del _qa_jobs[:_QA_MAX_BATCH]
-        _run_qa_jobs(batch)
+def _run_qa_batch(requests: List[Dict[str, Any]]) -> List[Any]:
+    from vgqa_tpu.inference.qa import predict_many
+
+    return predict_many(requests, model_dir=QA_MODEL_DIR)
+
+
+def _run_ground_batch(requests: List[Dict[str, Any]]) -> List[Any]:
+    from vgqa_tpu.inference.grounding import predict_many
+
+    return predict_many(requests, GROUNDING_CONFIG, GROUNDING_CKPT)
+
+
+_qa_coalescer = _Coalescer(
+    int(os.getenv("VGQA_QA_MAX_BATCH", "4")),
+    float(os.getenv("VGQA_QA_TIMEOUT_S", "600")),
+    _run_qa_batch,
+)
+# grounding throughput plateaus past 2 videos/forward (BASELINE.md: batch
+# 4 clip-halves = batch 2), so the default drain is pairs
+_ground_coalescer = _Coalescer(
+    int(os.getenv("VGQA_GROUND_MAX_BATCH", "2")),
+    float(os.getenv("VGQA_GROUND_TIMEOUT_S", "600")),
+    _run_ground_batch,
+)
 
 
 def _submit_qa(request: Dict[str, Any]) -> Dict[str, Any]:
-    global _qa_worker_alive
-    job: Dict[str, Any] = {
-        "request": request,
-        "done": threading.Event(),
-        "result": None,
-        "error": None,
-    }
-    with _qa_mutex:
-        _qa_jobs.append(job)
-        if not _qa_worker_alive:
-            _qa_worker_alive = True
-            threading.Thread(target=_qa_drain_loop, daemon=True).start()
-    if not job["done"].wait(timeout=_QA_QUEUE_TIMEOUT_S):
-        # withdraw the job if it is still queued so the drain thread does
-        # not spend a decode slot computing an answer nobody will read
-        # (if it is already in flight, the result is simply discarded)
-        with _qa_mutex:
-            try:
-                _qa_jobs.remove(job)
-            except ValueError:
-                pass
-        raise HTTPError(504, "QA request timed out in queue")
-    if job["error"] is not None:
-        err = job["error"]
-        # HTTPError and FileNotFoundError keep their pre-coalescer status
-        # mapping (do_POST: FileNotFoundError -> 503 "model dir missing";
-        # the video path was validated before enqueue)
-        if isinstance(err, (HTTPError, FileNotFoundError)):
-            raise err
-        raise HTTPError(500, f"{type(err).__name__}: {err}")
-    return job["result"]
+    return _qa_coalescer.submit(request)
 
 
 # -- endpoint implementations (pure functions for testability) --------------
@@ -230,13 +248,9 @@ def handle_predict(body: Dict[str, Any]) -> Dict[str, Any]:
     path = _safe_join_video(body["video"])
     meta = _video_meta(path)
 
-    def run():
-        from vgqa_tpu.inference.grounding import predict as stvg_predict
-
-        return stvg_predict(str(path), body["query"], GROUNDING_CONFIG,
-                            GROUNDING_CKPT)
-
-    res = _with_lock(run)
+    res = _ground_coalescer.submit(
+        {"video_path": str(path), "query": body["query"]}
+    )
     return {
         "video": {"name": path.name, "url": f"/videos/{path.name}"},
         "meta": meta,

@@ -200,3 +200,48 @@ def test_predict_yuv_matches_rgb(env, tmp_path, monkeypatch):
     b_rgb = _np.array([t["bbox"] for t in r_rgb["tube"]])
     b_yuv = _np.array([t["bbox"] for t in r_yuv["tube"]])
     assert _np.abs(b_rgb - b_yuv).mean() < 3.0
+
+
+def test_predict_many_coalesces_and_matches_solo(env, tmp_path):
+    """Two same-length videos batch into ONE V=4 forward whose per-video
+    results match their solo predict() calls (rows are independent); a bad
+    slot fails alone and a different-length video lands in its own group."""
+    cfg, data_dir, out_dir = env
+    from vgqa_tpu.data.synthetic import write_synthetic_video
+    from vgqa_tpu.inference.grounding import predict, predict_many
+
+    cfg_path = str(tmp_path / "tiny.yaml")
+    c = build_default_cfg()
+    c.merge_from_file("configs/grounding_vidstg_tiny.yaml")
+    c.DATA_DIR = data_dir
+    with open(cfg_path, "w") as f:
+        f.write(c.dump())
+
+    v0 = os.path.join(data_dir, "videos", "test_vid000.mp4")
+    v1 = str(tmp_path / "v1.mp4")
+    write_synthetic_video(v1, 40, (64, 48), seed=5)   # same T2 group as v0
+    v_short = str(tmp_path / "short.mp4")
+    write_synthetic_video(v_short, 6, (64, 48), seed=6)  # own T2 group
+
+    solo0 = predict(v0, "a green square", cfg_path, ckpt_path="")
+    solo1 = predict(v1, "a red circle", cfg_path, ckpt_path="")
+
+    results = predict_many(
+        [
+            {"video_path": v0, "query": "a green square"},
+            {"video_path": str(tmp_path / "nope.mp4"), "query": "?"},
+            {"video_path": v1, "query": "a red circle"},
+            {"video_path": v_short, "query": "something"},
+        ],
+        cfg_path, ckpt_path="",
+    )
+    assert isinstance(results[1], FileNotFoundError)
+    import numpy as _np
+
+    for solo, got in ((solo0, results[0]), (solo1, results[2])):
+        assert got["temporal"] == solo["temporal"]
+        b_solo = _np.array([t["bbox"] for t in solo["tube"]])
+        b_got = _np.array([t["bbox"] for t in got["tube"]])
+        _np.testing.assert_allclose(b_got, b_solo, atol=1e-3)
+    assert set(results[3].keys()) == {"temporal", "tube"}
+    json.dumps([r for r in results if not isinstance(r, Exception)])

@@ -103,16 +103,59 @@ def test_qa_missing_fields(server):
     assert e.value.code == 422
 
 
-def test_busy_lock_409_grounding(server):
-    """Grounding keeps the reference's single-flight 409 contract."""
+def test_grounding_coalesces_concurrent_requests(server):
+    """Concurrent grounding requests queue and coalesce into one V=2N
+    forward (net-new vs the reference, which 409s every concurrent
+    caller)."""
+    import vgqa_tpu.inference.grounding as g_mod
+
     base, mod = server
+    mod.GROUNDING_CONFIG = "configs/grounding_vidstg_tiny.yaml"
+    mod.GROUNDING_CKPT = ""
+    batch_sizes = []
+    real_many = g_mod.predict_many
+
+    def spying_many(requests, cfg_path=g_mod.DEFAULT_CONFIG_PATH,
+                    ckpt_path=g_mod.DEFAULT_CHECKPOINT_PATH):
+        batch_sizes.append(len(requests))
+        return real_many(requests, cfg_path, ckpt_path)
+
+    g_mod.predict_many = spying_many
+    # hold the accelerator lock so submitted jobs pile up in the queue,
+    # then release: the drain groups them into one coalesced forward
     assert mod._infer_lock.acquire(blocking=False)
+    results = [None] * 3
     try:
-        with pytest.raises(urllib.error.HTTPError) as e:
-            _post(base + "/api/predict", {"video": "demo.mp4", "query": "x"})
-        assert e.value.code == 409
+        def call(i):
+            results[i] = _post(
+                base + "/api/predict",
+                {"video": "demo.mp4", "query": f"a square {i}"},
+            )
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        # wait until the later jobs are queued (the first may already be
+        # popped by the drain thread, which is then blocked on the lock)
+        for _ in range(200):
+            with mod._ground_coalescer._mutex:
+                n = len(mod._ground_coalescer._jobs)
+            if n >= 2:
+                break
+            import time
+
+            time.sleep(0.05)
     finally:
         mod._infer_lock.release()
+    for t in threads:
+        t.join(timeout=280)
+    g_mod.predict_many = real_many
+    assert all(r is not None and r[0] == 200 for r in results)
+    for _, body in results:
+        assert set(body["result"].keys()) == {"temporal", "tube"}
+    # at least one drain served a pair in one coalesced V=2N forward
+    assert batch_sizes and max(batch_sizes) >= 2, batch_sizes
 
 
 def test_qa_coalesces_concurrent_requests(server):
@@ -147,8 +190,8 @@ def test_qa_coalesces_concurrent_requests(server):
         # wait until all three jobs are queued (first may already be
         # popped by the drain thread, which is then blocked on the lock)
         for _ in range(200):
-            with mod._qa_mutex:
-                n = len(mod._qa_jobs)
+            with mod._qa_coalescer._mutex:
+                n = len(mod._qa_coalescer._jobs)
             if n >= 2:
                 break
             import time

@@ -101,91 +101,83 @@ def _load_model(config_path: str, ckpt_path: str):
     mean = jnp.asarray(cfg.INPUT.PIXEL_MEAN, jnp.float32)
     std = jnp.asarray(cfg.INPUT.PIXEL_STD, jnp.float32)
 
-    # Both wrappers take ALL sampled frames interleaved ([T2, ...]) and do
-    # the even/odd half split on device: predict() uploads the frames in
-    # decode-order chunks (jax.device_put serializes in the background, so
-    # chunk k+1's host decode overlaps chunk k's upload), and a host-side
-    # stride-2 restack would force a host sync.
+    # Both wrappers take ALL sampled frames interleaved per video
+    # ([N, T2, ...], N = videos in the coalesced batch) and do the even/odd
+    # half split on device — the model sees V = 2N rows (video i's halves
+    # at rows 2i, 2i+1): predict() uploads the frames in decode-order
+    # chunks (jax.device_put serializes in the background, so chunk k+1's
+    # host decode overlaps chunk k's upload), and a host-side stride-2
+    # restack would force a host sync.
     @jax.jit
     def fwd_u8(params, frames_all, pixel_mask, time_mask, text: TextBatch,
                ori_sizes, letterbox):
-        both = jnp.stack([frames_all[0::2], frames_all[1::2]])
+        n, t2 = frames_all.shape[:2]
+        both = jnp.stack([frames_all[:, 0::2], frames_all[:, 1::2]], axis=1)
+        both = both.reshape(2 * n, t2 // 2, *frames_all.shape[2:])
         frames = (both.astype(jnp.float32) / 255.0 - mean) / std
         video = VideoBatch(frames.astype(dtype), pixel_mask, time_mask)
         return fwd(params, video, text, ori_sizes, letterbox)
 
-    # YUV-upload variant: frames arrive as flat I420 planes ([V, T, h*w*3/2]
-    # uint8 — HALF the RGB bytes; host-to-device upload is serialization-
-    # bound on remote links) and the BT.601 conversion + chroma upsample
-    # run fused on device. ``full_range`` is a traced 0/1 scalar selecting
-    # limited (MPEG) vs full (JPEG) range coefficients.
+    # YUV-upload variant: frames arrive as flat I420 planes
+    # ([N, T2, h*w*3/2] uint8 — HALF the RGB bytes; host-to-device upload
+    # is serialization-bound on remote links) and the BT.601 conversion +
+    # chroma upsample run fused on device. ``full_range`` is a traced [N]
+    # 0/1 vector selecting limited (MPEG) vs full (JPEG) range
+    # coefficients PER VIDEO (a coalesced batch may mix sources).
     res_ = cfg.INPUT.RESOLUTION
 
     @jax.jit
     def fwd_yuv(params, frames_all, pixel_mask, time_mask,
                 text: TextBatch, ori_sizes, letterbox, full_range):
-        flat = jnp.stack([frames_all[0::2], frames_all[1::2]])
-        V, T2, _ = flat.shape
+        N, T2, _ = frames_all.shape
         npx = res_ * res_
         nc = (res_ // 2) * (res_ // 2)
-        y = flat[..., :npx].reshape(V, T2, res_, res_).astype(jnp.float32)
+        flat = frames_all
+        y = flat[..., :npx].reshape(N, T2, res_, res_).astype(jnp.float32)
         u = flat[..., npx:npx + nc].reshape(
-            V, T2, res_ // 2, res_ // 2).astype(jnp.float32)
+            N, T2, res_ // 2, res_ // 2).astype(jnp.float32)
         v = flat[..., npx + nc:].reshape(
-            V, T2, res_ // 2, res_ // 2).astype(jnp.float32)
+            N, T2, res_ // 2, res_ // 2).astype(jnp.float32)
         # nearest 2x2 chroma upsample (matches swscale's unscaled
         # yuv420p->rgb block sharing)
         u = jnp.repeat(jnp.repeat(u, 2, axis=2), 2, axis=3) - 128.0
         v = jnp.repeat(jnp.repeat(v, 2, axis=2), 2, axis=3) - 128.0
-        fr = full_range > 0
+        fr = (full_range > 0)[:, None, None, None]
         yl = jnp.where(fr, y, 1.1643835616 * (y - 16.0))
         r = yl + jnp.where(fr, 1.402, 1.5960267857) * v
         g = (yl - jnp.where(fr, 0.344136, 0.3917622768) * u
              - jnp.where(fr, 0.714136, 0.8129676339) * v)
         b = yl + jnp.where(fr, 1.772, 2.0172321429) * u
         rgb = jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
-        frames = (rgb / 255.0 - mean) / std
+        both = jnp.stack([rgb[:, 0::2], rgb[:, 1::2]], axis=1)
+        both = both.reshape(2 * N, T2 // 2, res_, res_, 3)
+        frames = (both / 255.0 - mean) / std
         video = VideoBatch(frames.astype(dtype), pixel_mask, time_mask)
         return fwd(params, video, text, ori_sizes, letterbox)
 
     return cfg, model, params, tokenizer, fwd_u8, fwd_yuv
 
 
-def predict(
-    video_path: str,
-    query: str,
-    cfg_path: str = DEFAULT_CONFIG_PATH,
-    ckpt_path: str = DEFAULT_CHECKPOINT_PATH,
-    device_str: Optional[str] = None,
-    batch_size: int = 32,
-) -> Dict[str, Any]:
-    """Run grounding on one video. Returns the reference's schema
-    (grounding.py:227-244): temporal span in seconds + per-frame tube."""
-    del device_str, batch_size  # device placement is implicit in JAX
-    if not os.path.exists(video_path):
-        raise FileNotFoundError(f"Video not found: {video_path}")
+def _decode_upload(video_path: str, frame_ids, res: int):
+    """Decode the sampled frames and start their async device upload.
 
-    cfg, model, params, tokenizer, fwd, fwd_yuv = _load_model(
-        cfg_path, ckpt_path)
-    res = cfg.INPUT.RESOLUTION
+    Square resize to the model resolution happens DURING decode: the
+    native decoder folds the scale into the same swscale pass that
+    converts pixel format (grounding.py:77-87 uses a plain square Resize,
+    not the letterbox train transform); normalization happens on device.
+    When the native decoder is present, frames travel to the device as
+    scaled I420 planes (half the RGB bytes — upload is the serving
+    bottleneck on remote links) and the colorspace conversion runs fused
+    on device; VGQA_SERVE_YUV=0 forces the RGB path. Decode happens in
+    contiguous chunks, each handed to jax.device_put as soon as it is
+    decoded: device_put serializes in a background thread, so chunk k's
+    upload rides under chunk k+1's host decode and the end-to-end latency
+    approaches max(decode, upload) + forward instead of their sum.
+    VGQA_DECODE_CHUNKS=1 restores the sequential path.
 
-    total_frames, fps, w0, h0 = video_info(video_path)
-    target_t = max(2, int(cfg.INPUT.TRAIN_SAMPLE_NUM) * 2)
-    frame_ids = uniform_sample_indices(total_frames, target_t)
-    # square resize to the model resolution happens DURING decode: the
-    # native decoder folds the scale into the same swscale pass that
-    # converts pixel format (grounding.py:77-87 uses a plain square
-    # Resize, not the letterbox train transform); normalization happens
-    # on device. When the native decoder is present, frames travel to the
-    # device as scaled I420 planes (half the RGB bytes — upload is the
-    # serving bottleneck on remote links) and the colorspace conversion
-    # runs fused on device; VGQA_SERVE_YUV=0 forces the RGB path.
-    # Decode happens in contiguous chunks, each handed to jax.device_put as
-    # soon as it is decoded: device_put serializes in a background thread,
-    # so chunk k's upload rides under chunk k+1's host decode and the
-    # end-to-end latency approaches max(decode, upload) + forward instead of
-    # their sum (upload and decode are comparable at 420px through a remote
-    # link). VGQA_DECODE_CHUNKS=1 restores the sequential path.
+    Returns ``(frames [T2, ...] on device, frame_ids, yuv, full_range)``
+    with T2 made even (the even/odd split duplicates the last frame of an
+    odd-count short video rather than dropping one)."""
     use_yuv = os.environ.get("VGQA_SERVE_YUV", "1") != "0"
     n_chunks = max(1, int(os.environ.get("VGQA_DECODE_CHUNKS", "4")))
     n_chunks = min(n_chunks, max(1, len(frame_ids)))
@@ -217,61 +209,25 @@ def predict(
         ]
     frames = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
-    # short videos can sample an odd frame count (uniform_sample_indices
-    # returns total_frames when < target_t); the even/odd split needs an
-    # even T, so duplicate the last frame (keeps every decoded frame in a
-    # half rather than dropping one)
     if frames.shape[0] < 2:
         frames = jnp.concatenate([frames, frames], axis=0)
         frame_ids = list(frame_ids) * 2
     if frames.shape[0] % 2:
         frames = jnp.concatenate([frames, frames[-1:]], axis=0)
         frame_ids = list(frame_ids) + [frame_ids[-1]]
-    frame_ids = np.asarray(frame_ids)
+    return frames, np.asarray(frame_ids), yuv, full_range
 
-    # both 64-frame halves ride ONE batched forward (V=2): the reference
-    # runs them sequentially (grounding.py:204-211); batching halves the
-    # dispatch/fetch round trips and doubles the MXU batch; the even/odd
-    # restack happens on device inside the jitted wrapper
-    t_half = frames.shape[0] // 2
-    pixel_mask = jnp.ones((2, res, res), bool)
-    time_mask = jnp.ones((2, t_half), bool)
-    video = VideoBatch(frames=frames, pixel_mask=pixel_mask,
-                       time_mask=time_mask)
-    if yuv:
-        fwd = lambda p, v, t, o, lb: fwd_yuv(  # noqa: E731
-            p, v.frames, v.pixel_mask, v.time_mask, t, o, lb,
-            jnp.float32(full_range))
-    else:
-        u8 = fwd
-        fwd = lambda p, v, t, o, lb: u8(  # noqa: E731
-            p, v.frames, v.pixel_mask, v.time_mask, t, o, lb)
-    ids, mask = batch_encode(
-        tokenizer, [query, query], cfg.INPUT.MAX_QUERY_LEN
-    )
-    text = TextBatch(jnp.asarray(ids), jnp.asarray(mask))
-    infos = [
-        {
-            "item_id": half,
-            "vid": "video",
-            "frame_ids": frame_ids[half::2],
-            "duration": t_half,
-            "qtype": "declar",
-            "ori_size": (h0, w0),
-        }
-        for half in (0, 1)
-    ]
-    gt_act = np.ones((2, t_half), np.float32)
-    b1, a1, t1, _ = single_forward(fwd, params, video, text, infos, gt_act,
-                                   canvas=(res, res))
 
-    b1[0].update(b1[1])
-    bbox_full = linear_interp(b1[0])
-    a1[0].update(a1[1])
-    att_full = linear_interp_conf(a1[0])
+def _merge_halves(b1, a1, t1, row: int, fps: float) -> Dict[str, Any]:
+    """Merge one video's even/odd half predictions (rows ``row``/``row+1``
+    of single_forward's outputs) into the reference's response schema."""
+    b1[row].update(b1[row + 1])
+    bbox_full = linear_interp(b1[row])
+    a1[row].update(a1[row + 1])
+    att_full = linear_interp_conf(a1[row])
     merged_sted = [
-        min(t1[0]["sted"][0], t1[1]["sted"][0]),
-        max(t1[0]["sted"][1], t1[1]["sted"][1]),
+        min(t1[row]["sted"][0], t1[row + 1]["sted"][0]),
+        max(t1[row]["sted"][1], t1[row + 1]["sted"][1]),
     ]
 
     temporal = {
@@ -292,3 +248,126 @@ def predict(
             }
         )
     return {"temporal": temporal, "tube": tube}
+
+
+def _run_group(loaded, group) -> None:
+    """Run one coalesced forward over videos sharing (yuv, T2).
+
+    ``group``: list of dicts with frames/frame_ids/full_range/fps/ori/
+    query/out (out is filled with the result). The model sees V = 2N rows
+    (each video's even/odd halves) in ONE jitted forward — the measured
+    throughput sweet spot is 2 clip-halves per video x N=2 videos
+    (BASELINE.md: batch 2 -> 4 plateaus at the same clips/s, so pairing
+    videos costs no latency while doubling aggregate serving throughput
+    vs the reference's single-flight lock)."""
+    cfg, model, params, tokenizer, fwd_u8, fwd_yuv = loaded
+    res = cfg.INPUT.RESOLUTION
+    n = len(group)
+    frames = jnp.stack([g["frames"] for g in group])        # [N, T2, ...]
+    t_half = frames.shape[1] // 2
+    pixel_mask = jnp.ones((2 * n, res, res), bool)
+    time_mask = jnp.ones((2 * n, t_half), bool)
+    video = VideoBatch(frames=frames, pixel_mask=pixel_mask,
+                       time_mask=time_mask)
+    if group[0]["yuv"]:
+        fr = jnp.asarray([g["full_range"] for g in group], jnp.float32)
+        fwd = lambda p, v, t, o, lb: fwd_yuv(  # noqa: E731
+            p, v.frames, v.pixel_mask, v.time_mask, t, o, lb, fr)
+    else:
+        fwd = lambda p, v, t, o, lb: fwd_u8(  # noqa: E731
+            p, v.frames, v.pixel_mask, v.time_mask, t, o, lb)
+    queries = []
+    for g in group:
+        queries += [g["query"], g["query"]]
+    ids, mask = batch_encode(tokenizer, queries, cfg.INPUT.MAX_QUERY_LEN)
+    text = TextBatch(jnp.asarray(ids), jnp.asarray(mask))
+    infos = [
+        {
+            "item_id": 2 * i + half,
+            "vid": f"video{i}",
+            "frame_ids": group[i]["frame_ids"][half::2],
+            "duration": t_half,
+            "qtype": "declar",
+            "ori_size": group[i]["ori_size"],
+        }
+        for i in range(n)
+        for half in (0, 1)
+    ]
+    gt_act = np.ones((2 * n, t_half), np.float32)
+    b1, a1, t1, _ = single_forward(fwd, params, video, text, infos, gt_act,
+                                   canvas=(res, res))
+    for i, g in enumerate(group):
+        g["out"] = _merge_halves(b1, a1, t1, 2 * i, g["fps"])
+
+
+def predict(
+    video_path: str,
+    query: str,
+    cfg_path: str = DEFAULT_CONFIG_PATH,
+    ckpt_path: str = DEFAULT_CHECKPOINT_PATH,
+    device_str: Optional[str] = None,
+    batch_size: int = 32,
+) -> Dict[str, Any]:
+    """Run grounding on one video. Returns the reference's schema
+    (grounding.py:227-244): temporal span in seconds + per-frame tube."""
+    del device_str, batch_size  # device placement is implicit in JAX
+    result = predict_many(
+        [{"video_path": video_path, "query": query}], cfg_path, ckpt_path
+    )[0]
+    if isinstance(result, Exception):
+        raise result
+    return result
+
+
+def predict_many(
+    requests,
+    cfg_path: str = DEFAULT_CONFIG_PATH,
+    ckpt_path: str = DEFAULT_CHECKPOINT_PATH,
+):
+    """Serve N grounding requests with coalesced forwards.
+
+    ``requests``: dicts with ``video_path`` and ``query``. Returns a list
+    aligned with ``requests``: each slot is the reference-schema result
+    dict or the exception raised preparing that request (a bad video
+    fails its own slot only). Videos sharing a sampled frame count and
+    decode format batch into ONE V=2N forward — net-new vs the
+    reference's single-flight lock (/root/reference/app/server.py:149):
+    at 420px two videos ride one forward at the same latency as one
+    (B=2 vs 4 clip-halves plateaus, BASELINE.md), doubling aggregate
+    throughput under concurrent load."""
+    loaded = _load_model(cfg_path, ckpt_path)
+    cfg = loaded[0]
+    res = cfg.INPUT.RESOLUTION
+    target_t = max(2, int(cfg.INPUT.TRAIN_SAMPLE_NUM) * 2)
+
+    jobs = [None] * len(requests)
+    for i, req in enumerate(requests):
+        try:
+            path = req["video_path"]
+            if not os.path.exists(path):
+                raise FileNotFoundError(f"Video not found: {path}")
+            total_frames, fps, w0, h0 = video_info(path)
+            frame_ids = uniform_sample_indices(total_frames, target_t)
+            frames, frame_ids, yuv, full_range = _decode_upload(
+                path, frame_ids, res)
+            jobs[i] = {
+                "frames": frames, "frame_ids": frame_ids, "yuv": yuv,
+                "full_range": full_range, "fps": fps,
+                "ori_size": (h0, w0), "query": req["query"], "out": None,
+            }
+        except Exception as e:  # noqa: BLE001 - per-slot failure isolation
+            jobs[i] = e
+
+    # group by (decode format, frame count): a group shares one jitted
+    # program shape; short videos with unusual T2 simply run solo
+    groups: Dict[Tuple[bool, int], list] = {}
+    for job in jobs:
+        if isinstance(job, Exception):
+            continue
+        groups.setdefault(
+            (job["yuv"], int(job["frames"].shape[0])), []
+        ).append(job)
+    for group in groups.values():
+        _run_group(loaded, group)
+
+    return [j if isinstance(j, Exception) else j["out"] for j in jobs]
