@@ -53,15 +53,23 @@ def main():
     cfg.DATA_DIR = data_dir
     cfg.OUTPUT_DIR = os.path.join(work_dir, "out")
     cfg.DATA_TRUNK = 4
-    cfg.SOLVER.MAX_EPOCH = 2       # 4 items / global_batch 4 -> 2 iters
+    cfg.SOLVER.MAX_EPOCH = 2
     cfg.SOLVER.TO_VAL = False
     cfg.SOLVER.CHECKPOINT_PERIOD = 100
-    cfg.TPU.MESH_DP = 4            # 2 processes x 2 local devices
+    # VGQA_MH_SP=2 exercises sequence parallelism under the real
+    # multi-process runtime: mesh (dp=2, sp=2) over 2 processes x 2 local
+    # devices — each video's sp pair stays process-local (the guard in
+    # tools/train.py), frames shard on the clip's frame axis
+    sp = int(os.environ.get("VGQA_MH_SP", "1"))
+    cfg.TPU.MESH_SP = sp
+    cfg.TPU.MESH_DP = 4 // sp      # 2 processes x 2 local devices
     cfg.MODEL.EMA = False
 
     logger = setup_logger(f"mh-rank{rank}", "", rank)
     trainer = Trainer(cfg, logger, seed=0)
     trainer.setup()
+    result["mesh"] = {"dp": int(trainer.mesh.shape["dp"]),
+                      "sp": int(trainer.mesh.shape["sp"])}
     result["max_iter"] = trainer.max_iter
     # each rank's loader must slice the global batch, not enumerate it
     result["local_batch"] = trainer.train_loader.local_batch

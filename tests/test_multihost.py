@@ -26,7 +26,28 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_train_and_eval(tmp_path):
+@pytest.mark.parametrize(
+    "sp",
+    [
+        1,
+        pytest.param(2, marks=pytest.mark.skip(
+            reason="XLA CPU gloo deadlock, not a vgqa bug: with a 2-axis "
+            "(dp, sp) mesh across 2 processes the interleaved 2-member "
+            "communicator inits deadlock deterministically (pair {0,2048} "
+            "times out at GetKeyValue while local sp pairs and the "
+            "4-member group form; reproduces cache-warm, so not compile "
+            "skew). sp semantics are proven on the single-process "
+            "8-device mesh (test_train_step_sharded_dp_sp_tp) and the "
+            "driver's dryrun_multichip; TPU pods use XLA's ICI "
+            "collectives, not gloo.")),
+    ],
+    ids=["dp4", "dp2sp2"],
+)
+def test_two_process_train_and_eval(tmp_path, sp):
+    """sp=2 would additionally prove sequence parallelism under the REAL
+    multi-process runtime: mesh (dp=2, sp=2), each video's frame axis
+    split across a process-local sp pair (currently skipped — see the
+    param mark)."""
     from vgqa_tpu.data.synthetic import make_synthetic_dataset
 
     data_dir = str(tmp_path / "data")
@@ -45,6 +66,7 @@ def test_two_process_train_and_eval(tmp_path):
             VGQA_COORDINATOR=f"localhost:{port}",
             VGQA_NUM_PROCESSES="2",
             VGQA_PROCESS_ID=str(rank),
+            VGQA_MH_SP=str(sp),
             VGQA_MH_OUT=out,
             VGQA_MH_DATA=data_dir,
             VGQA_MH_WORK=str(tmp_path / f"work{rank}"),
@@ -78,13 +100,16 @@ def test_two_process_train_and_eval(tmp_path):
         )
         raise AssertionError(f"multi-host worker failed:\n{blob}")
 
+    dp = 4 // sp
+    iters = 2 * (4 // dp)          # 2 epochs over 4 items
     results = [json.load(open(o)) for o in outs]
     for rank, r in enumerate(results):
         assert r["process_count"] == 2
         assert r["local_devices"] == 2 and r["global_devices"] == 4
-        assert r["max_iter"] == 2 and r["final_step"] == 2
+        assert r["mesh"] == {"dp": dp, "sp": sp}
+        assert r["max_iter"] == iters and r["final_step"] == iters
         # the loader handed this rank only its slice of the global batch
-        assert r["local_batch"] == 2
+        assert r["local_batch"] == dp // 2
         assert r["params_finite"]
         # unfaked all_gather: both ranks see both payloads, size-negotiated
         assert r["gather_ranks"] == [0, 1]
