@@ -101,6 +101,37 @@ def main():
           f"(all: {', '.join(f'{t:.2f}' for t in times)}); "
           f"tube len {len(out['tube'])}", flush=True)
 
+    # coalesced serving: 2 videos per V=4 forward (the HTTP layer batches
+    # concurrent /api/predict callers this way; device forward cost is the
+    # same as one video, so aggregate throughput ~doubles minus the extra
+    # host decode)
+    from vgqa_tpu.data.synthetic import write_synthetic_video
+    from vgqa_tpu.inference.grounding import predict_many
+
+    v2 = "/tmp/bench_serving_b.mp4"
+    write_synthetic_video(v2, args.frames, tuple(
+        int(x) for x in args.size.split("x")), seed=7)
+    reqs = [
+        {"video_path": video_path, "query": "a person walks left"},
+        {"video_path": v2, "query": "a red object moves"},
+    ]
+    predict_many(reqs, cfg_path=args.config,
+                 ckpt_path="checkpoints/grounding/vidstg")  # compile V=4
+    times2 = []
+    for i in range(args.iters):
+        t0 = time.time()
+        outs = predict_many(
+            [{"video_path": r["video_path"], "query": f"{r['query']} {i}"}
+             for r in reqs],
+            cfg_path=args.config, ckpt_path="checkpoints/grounding/vidstg",
+        )
+        times2.append(time.time() - t0)
+    assert all(not isinstance(o, Exception) for o in outs)
+    pair = float(np.median(times2))
+    print(f"predict_many() 2-video coalesced e2e: median {pair:.2f} s "
+          f"({pair/2:.2f} s/video aggregate vs {e2e:.2f} solo; "
+          f"all: {', '.join(f'{t:.2f}' for t in times2)})", flush=True)
+
 
 if __name__ == "__main__":
     main()
