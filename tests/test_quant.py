@@ -82,3 +82,44 @@ def test_quantized_memory_shrinks():
     full = nbytes(eng.params["llm"])
     quant = nbytes(quantize_llm_params(eng.params["llm"]))
     assert quant < 0.45 * full  # f32 -> int8 + small scales
+
+
+def test_w8a8_prefill_numerics():
+    """Dynamic int8 activations (W8A8 prefill path) must stay close to the
+    weight-only int8 path, and the engine flag must produce a working chat
+    with identical KV-cache layout (decode stays on the exact path)."""
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vgqa_tpu.qa import GenerationConfig, LLMConfig, QAEngine, ViTConfig
+    from vgqa_tpu.qa.llm_functional import embed_tokens, llm_forward
+    from vgqa_tpu.qa.quant import quantize_llm_params
+
+    eng = QAEngine.init_random(LLMConfig.tiny(), ViTConfig.tiny())
+    qllm = quantize_llm_params(eng.params["llm"])
+
+    ids = np.array([[5, 9, 40, 7]], np.int32)
+    embeds = embed_tokens(eng.params["embed"], eng.llm_cfg, jnp.asarray(ids))
+    pos = jnp.arange(4)[None]
+    mask = jnp.tril(jnp.ones((1, 4, 4), bool))
+    w8, _ = llm_forward(qllm, eng.llm_cfg, embeds, pos, mask)
+    w8a8, _ = llm_forward(qllm, eng.llm_cfg, embeds, pos, mask, w8a8=True)
+    denom = float(jnp.abs(w8).max())
+    rel = float(jnp.abs(w8 - w8a8).max()) / max(denom, 1e-6)
+    assert rel < 0.08, rel
+
+    # engine flag end-to-end (chunk-free prompt; greedy)
+    os.environ["VGQA_W8A8_PREFILL"] = "1"
+    try:
+        qeng = QAEngine(eng.llm_cfg, eng.vit_cfg,
+                        {**eng.params, "llm": qllm})
+        assert qeng._w8a8_prefill
+        s = qeng.vit_cfg.image_size
+        tiles = np.random.RandomState(2).rand(1, s, s, 3).astype(np.float32)
+        out = qeng.chat(tiles, "what?",
+                        GenerationConfig(max_new_tokens=4, do_sample=False))
+        assert isinstance(out, str)
+    finally:
+        del os.environ["VGQA_W8A8_PREFILL"]

@@ -132,6 +132,11 @@ class QAEngine:
         self.use_flash_prefill = (
             jax.default_backend() == "tpu" or self._flash_interpret
         )
+        # VGQA_W8A8_PREFILL=1: per-row dynamic int8 activations in the
+        # compute-bound prefill matmuls (int8 x int8 hits the MXU's
+        # double-rate path); decode keeps exact bf16 activations. Off by
+        # default pending an accuracy pass against real weights.
+        self._w8a8_prefill = _os.environ.get("VGQA_W8A8_PREFILL") == "1"
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(3,))
         self._prefill_chunked = jax.jit(self._prefill_chunked_impl,
                                         donate_argnums=(3,))
@@ -191,6 +196,7 @@ class QAEngine:
                  "interpret": self._flash_interpret}
                 if self.use_flash_prefill else None
             ),
+            w8a8=self._w8a8_prefill,
         )
         # copy prefill kv into the persistent cache
         filled = []
@@ -241,6 +247,7 @@ class QAEngine:
                      "interpret": self._flash_interpret}
                     if self.use_flash_prefill else None
                 ),
+                w8a8=self._w8a8_prefill,
             )
             cand = logits[:, 0]
             if last is None:

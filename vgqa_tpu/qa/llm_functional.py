@@ -15,12 +15,12 @@ import jax
 import jax.numpy as jnp
 
 from .llm import LLMConfig, apply_rope, rotary_embedding
-from .quant import quant_matmul
+from .quant import quant_matmul, quant_matmul_w8a8
 
 
-def _dense(x: jnp.ndarray, p: Dict[str, Any]) -> jnp.ndarray:
+def _dense(x: jnp.ndarray, p: Dict[str, Any], w8a8: bool = False) -> jnp.ndarray:
     if "kernel_q" in p:
-        return quant_matmul(x, p)
+        return quant_matmul_w8a8(x, p) if w8a8 else quant_matmul(x, p)
     y = jnp.einsum(
         "...i,io->...o", x, p["kernel"].astype(x.dtype),
         preferred_element_type=jnp.float32,
@@ -45,6 +45,7 @@ def llm_forward(
     cache_index: Optional[jnp.ndarray] = None,
     lm_head_rows: Optional[jnp.ndarray] = None,  # [B] row per batch
     flash_prefill: Optional[Dict[str, Any]] = None,
+    w8a8: bool = False,
 ):
     """Mirror of LLM.__call__ (qa/llm.py) over a raw tree.
 
@@ -56,6 +57,12 @@ def llm_forward(
     element (returned logits are [B, 1, V]). Prefill only consumes the
     final prompt token's logits, and the full-chunk [L, V] head matmul is
     ~4% of an 8B prefill's FLOPs — all wasted without this.
+
+    ``w8a8`` routes every quantized projection through per-row dynamic
+    int8 activations (quant.quant_matmul_w8a8: int8 x int8 -> int32 on the
+    MXU's double-rate path) — enable for compute-bound prefill only; the
+    L=1 decode steps are weight-memory-bound and keep exact bf16
+    activations.
 
     ``flash_prefill`` = {"q_offset": int (STATIC query start position),
     "length": [] traced valid-key count, "interpret": bool} routes the
@@ -71,9 +78,9 @@ def llm_forward(
     for i in range(cfg.num_layers):
         p = params[f"layer_{i}"]
         h = _rms_norm(x, p["attn_norm"], cfg.rms_eps)
-        q = _dense(h, p["q_proj"]).reshape(B, L, cfg.num_heads, hd)
-        k = _dense(h, p["k_proj"]).reshape(B, L, cfg.num_kv_heads, hd)
-        v = _dense(h, p["v_proj"]).reshape(B, L, cfg.num_kv_heads, hd)
+        q = _dense(h, p["q_proj"], w8a8).reshape(B, L, cfg.num_heads, hd)
+        k = _dense(h, p["k_proj"], w8a8).reshape(B, L, cfg.num_kv_heads, hd)
+        v = _dense(h, p["v_proj"], w8a8).reshape(B, L, cfg.num_kv_heads, hd)
         cos, sin = rotary_embedding(positions, hd, cfg.rope_theta)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
@@ -136,12 +143,12 @@ def llm_forward(
             ).astype(x.dtype)
             ctx = ctx.reshape(B, cfg.num_heads, L, hd).transpose(0, 2, 1, 3)
             ctx = ctx.reshape(B, L, cfg.num_heads * hd)
-        x = x + _dense(ctx, p["o_proj"])
+        x = x + _dense(ctx, p["o_proj"], w8a8)
 
         h = _rms_norm(x, p["mlp_norm"], cfg.rms_eps)
-        gate = _dense(h, p["gate_proj"])
-        up = _dense(h, p["up_proj"])
-        x = x + _dense(jax.nn.silu(gate) * up, p["down_proj"])
+        gate = _dense(h, p["gate_proj"], w8a8)
+        up = _dense(h, p["up_proj"], w8a8)
+        x = x + _dense(jax.nn.silu(gate) * up, p["down_proj"], w8a8)
 
     x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
     if lm_head_rows is not None:
