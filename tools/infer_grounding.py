@@ -16,19 +16,39 @@ from vgqa_tpu.inference.grounding import (  # noqa: E402
     DEFAULT_CHECKPOINT_PATH,
     DEFAULT_CONFIG_PATH,
     predict,
+    predict_many,
 )
 
 
 def main():
     parser = argparse.ArgumentParser(description="Spatio-temporal grounding inference")
-    parser.add_argument("--video", required=True, help="path to input video")
-    parser.add_argument("--query", required=True, help="natural-language query")
+    parser.add_argument("--video", required=True, action="append",
+                        help="path to input video (repeatable: N videos "
+                             "with N --query flags batch same-length pairs "
+                             "into one coalesced forward)")
+    parser.add_argument("--query", required=True, action="append",
+                        help="natural-language query (one per --video)")
     parser.add_argument("--config", default=DEFAULT_CONFIG_PATH)
     parser.add_argument("--checkpoint", default=DEFAULT_CHECKPOINT_PATH)
     parser.add_argument("--output", default="", help="optional JSON output path")
     args = parser.parse_args()
 
-    result = predict(args.video, args.query, args.config, args.checkpoint)
+    if len(args.video) != len(args.query):
+        parser.error(f"{len(args.video)} --video flags but "
+                     f"{len(args.query)} --query flags")
+    if len(args.video) == 1:
+        result = predict(args.video[0], args.query[0], args.config,
+                         args.checkpoint)
+    else:
+        results = predict_many(
+            [{"video_path": v, "query": q}
+             for v, q in zip(args.video, args.query)],
+            args.config, args.checkpoint,
+        )
+        errs = [r for r in results if isinstance(r, Exception)]
+        if errs:
+            raise errs[0]
+        result = results
     text = json.dumps(result, indent=2)
     if args.output:
         Path(args.output).write_text(text)
