@@ -59,7 +59,7 @@ class TimeDecoderLayer(nn.Module):
         attn = MultiHeadAttention(self.num_heads, self.dropout, name="self_attn")(
             q, k, tgt, key_mask=time_mask, deterministic=deterministic
         )
-        tgt = nn.LayerNorm(name="norm1")(
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(
             tgt + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         )
 
@@ -71,7 +71,7 @@ class TimeDecoderLayer(nn.Module):
             key_mask=memory_mask,
             deterministic=deterministic,
         )[:, :, 0]
-        tgt = nn.LayerNorm(name="norm3")(
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm3")(
             tgt + nn.Dropout(self.dropout)(cross, deterministic=deterministic)
         )
 
@@ -79,7 +79,7 @@ class TimeDecoderLayer(nn.Module):
             tgt, deterministic
         )
         tgt = tgt + nn.Dropout(self.dropout)(ffn, deterministic=deterministic)
-        return nn.LayerNorm(name="norm4")(tgt)
+        return nn.LayerNorm(epsilon=1e-5, name="norm4")(tgt)
 
 
 class TimeDecoder(nn.Module):
@@ -96,7 +96,7 @@ class TimeDecoder(nn.Module):
         self, tgt, query_time, memory, memory_pos, memory_mask, time_mask,
         deterministic=True,
     ) -> jnp.ndarray:
-        norm = nn.LayerNorm(name="norm")
+        norm = nn.LayerNorm(epsilon=1e-5, name="norm")
         intermediate = []
         for i in range(self.num_layers):
             tgt = TimeDecoderLayer(
@@ -147,7 +147,7 @@ class PosDecoderLayer(nn.Module):
         attn = MultiHeadAttention(H, self.dropout, name="self_attn")(
             q, k, v, key_mask=time_mask, deterministic=deterministic
         )
-        tgt = nn.LayerNorm(name="norm1")(
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(
             tgt + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         )
 
@@ -180,7 +180,7 @@ class PosDecoderLayer(nn.Module):
             scale=float(head_dim2) ** -0.5,
         )[:, :, 0]                                            # [V, T, d]
         cross = nn.Dense(d, name="cross_out")(cross)
-        tgt = nn.LayerNorm(name="norm3")(
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm3")(
             tgt + nn.Dropout(self.dropout)(cross, deterministic=deterministic)
         )
 
@@ -188,7 +188,7 @@ class PosDecoderLayer(nn.Module):
             tgt, deterministic
         )
         tgt = tgt + nn.Dropout(self.dropout)(ffn, deterministic=deterministic)
-        return nn.LayerNorm(name="norm4")(tgt)
+        return nn.LayerNorm(epsilon=1e-5, name="norm4")(tgt)
 
 
 class PosDecoder(nn.Module):

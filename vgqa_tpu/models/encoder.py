@@ -48,12 +48,12 @@ class EncoderLayer(nn.Module):
             name="self_attn",
         )(q, q, src, key_mask=mask, deterministic=deterministic)
         src = src + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        src = nn.LayerNorm(name="norm1")(src)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
         ffn = TransformerFFN(self.ffn_dim, src.shape[-1], self.dropout, name="ffn")(
             src, deterministic
         )
         src = src + nn.Dropout(self.dropout)(ffn, deterministic=deterministic)
-        return nn.LayerNorm(name="norm2")(src)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(src)
 
 
 class CrossModalEncoder(nn.Module):
@@ -102,7 +102,7 @@ class CrossModalEncoder(nn.Module):
                 self.num_heads, self.ffn_dim, self.dropout, self.use_flash,
                 name=f"layer_{i}",
             )(h, pos, mask, deterministic)
-        h = nn.LayerNorm(name="norm")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)
 
         frames_cls = h.mean(axis=2)  # [V, T, d]
         tm = time_mask.astype(h.dtype)[..., None]

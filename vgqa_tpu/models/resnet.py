@@ -60,7 +60,9 @@ def _make_norm(norm: str, features: int, name: str):
     if norm == "group":
         # 32 groups for every real channel width (min width is 64 on
         # resnet50/101); the min() only engages for the tiny test trunk
-        return nn.GroupNorm(num_groups=min(32, features), name=name)
+        # epsilon matches torch nn.GroupNorm (1e-5); flax defaults to 1e-6
+        return nn.GroupNorm(num_groups=min(32, features), epsilon=1e-5,
+                            name=name)
     return FrozenAffine(features, name=name)
 
 

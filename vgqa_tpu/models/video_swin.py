@@ -215,7 +215,9 @@ class SwinBlock3D(nn.Module):
         window, shift = _adjust_window((D, H, W), self.window, self.shift)
 
         shortcut = x
-        h = nn.LayerNorm(name="norm1")(x)
+        # epsilon matches torch nn.LayerNorm (1e-5) for converted-checkpoint
+        # parity; flax's default is 1e-6
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
 
         # pad to window multiples
         pad_d = (-D) % window[0]
@@ -244,7 +246,7 @@ class SwinBlock3D(nn.Module):
 
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(h, deterministic)
 
-        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, name="mlp_fc2")(h)
@@ -266,7 +268,7 @@ class PatchMerging(nn.Module):
         x2 = x[:, :, 0::2, 1::2]
         x3 = x[:, :, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
 
 
@@ -349,7 +351,7 @@ class VideoSwinBackbone(nn.Module):
             + bias
         )
         if c.patch_norm:
-            x = nn.LayerNorm(name="patch_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
 
         total_blocks = sum(c.depths)
         dpr = np.linspace(0, c.drop_path_rate, total_blocks)
@@ -491,7 +493,7 @@ def _ln_apply(x: jnp.ndarray, p: Dict) -> jnp.ndarray:
     x32 = x.astype(jnp.float32)
     mu = x32.mean(-1, keepdims=True)
     var = jnp.square(x32 - mu).mean(-1, keepdims=True)
-    out = (x32 - mu) * jax.lax.rsqrt(var + 1e-6) * p["scale"] + p["bias"]
+    out = (x32 - mu) * jax.lax.rsqrt(var + 1e-5) * p["scale"] + p["bias"]
     return out.astype(x.dtype)
 
 

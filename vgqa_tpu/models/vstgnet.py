@@ -124,7 +124,7 @@ class SwinStub(nn.Module):
             self.feature_dim, (32, 32), strides=(32, 32), padding="VALID",
             name="patch",
         )(x)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return x.reshape(V, T, x.shape[1], x.shape[2], self.feature_dim)
 
 

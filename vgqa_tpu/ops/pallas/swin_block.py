@@ -56,7 +56,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-LN_EPS = 1e-6  # flax nn.LayerNorm default
+LN_EPS = 1e-5  # torch nn.LayerNorm default (reference parity)
 
 # degree-9 odd minimax fit of erf(x) = x * P(x^2) on [0, 3.2] (clamped
 # outside; erf(3.2) = 1 - 6e-6, below bf16 resolution). Max abs err 8.7e-5.

@@ -126,7 +126,9 @@ class VisionTower(nn.Module):
         tokens = shuffled.reshape(B, gg * gg, shuffled.shape[-1])
 
         # mlp1 projector: LN -> dense -> gelu -> dense (InternVL)
-        h = nn.LayerNorm(name="proj_norm")(tokens)
+        # mlp1's LayerNorm is a plain torch nn.LayerNorm (eps=1e-5), unlike
+        # the ViT trunk norms which use the config's 1e-6
+        h = nn.LayerNorm(epsilon=1e-5, name="proj_norm")(tokens)
         h = nn.gelu(nn.Dense(c.llm_hidden_size, name="proj_fc1")(h),
                     approximate=False)
         return nn.Dense(c.llm_hidden_size, name="proj_fc2")(h)
