@@ -109,6 +109,26 @@ def test_chat_uint8_tiles_match_float(tiny_engine):
     assert a_uint8 == a_float
 
 
+def test_encode_vision_chunked_matches_single_shot(tiny_engine):
+    """Chunked vision-upload pipelining (VGQA_VISION_CHUNKS) is a pure
+    perf transform: the per-chunk ViT dispatch must yield the same tokens
+    as the one-shot path on the same uint8 tiles."""
+    eng = tiny_engine
+    s = eng.vit_cfg.image_size
+    raw = np.random.RandomState(7).randint(
+        0, 256, (4, s, s, 3), dtype=np.uint8
+    )
+    old = eng._vision_chunk
+    try:
+        eng._vision_chunk = 0
+        one = np.asarray(eng._encode_vision(raw))
+        eng._vision_chunk = 2
+        chunked = np.asarray(eng._encode_vision(raw))
+    finally:
+        eng._vision_chunk = old
+    np.testing.assert_allclose(chunked, one, rtol=1e-6, atol=1e-6)
+
+
 def test_vit_flash_matches_einsum():
     """ViT with flash (interpret-mode Pallas) attention matches the einsum
     path on identical params/inputs."""

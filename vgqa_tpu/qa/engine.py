@@ -96,9 +96,13 @@ class QAEngine:
 
         self.llm = LLM(llm_cfg)
         self.embed = TokenEmbedding(llm_cfg)
-        # flash ViT attention on TPU (or interpret mode for CPU parity
-        # tests); the flag changes no parameters, only the attention op
-        if jax.default_backend() == "tpu" or (
+        # ViT attention stays on XLA's einsum path: measured on-chip, the
+        # flash kernel LOSES 2.8x at the ViT's shape (L=1025, head_dim=64 —
+        # lane padding to 128 wastes half the MXU; XLA runs 57 TF/s vs
+        # flash's 20, 2026-08-18). VGQA_VIT_FLASH=1 re-enables it for
+        # experiments; interpret mode keeps exercising the kernel in CPU
+        # parity tests. The flag changes no parameters, only the attention op.
+        if _os.environ.get("VGQA_VIT_FLASH") == "1" or (
             _os.environ.get("VGQA_PALLAS_INTERPRET") == "1"
         ):
             vit_cfg = _dc.replace(vit_cfg, flash=True)
@@ -123,6 +127,14 @@ class QAEngine:
             return self.vision.apply({"params": p["vision"]}, tiles)
 
         self._vision_fn = jax.jit(_vision_apply)
+        # host->device tile uploads serialize on a background thread and
+        # dominate the vision phase at the 32-frame protocol (19 MB uint8,
+        # ~0.7-1.0 s through the tunnel vs ~0.4 s ViT compute): split the
+        # tile batch into fixed-size chunks, enqueue every chunk's upload
+        # first, then dispatch the ViT per chunk — chunk k's compute
+        # overlaps chunk k+1's serialization. Fixed chunk size keeps it to
+        # one extra compile; 0 disables.
+        self._vision_chunk = int(_os.environ.get("VGQA_VISION_CHUNKS", "8"))
 
         # causal GQA flash prefill: native on TPU; interpret mode for CPU
         # parity testing (VGQA_PALLAS_INTERPRET=1); plain XLA otherwise
@@ -503,6 +515,23 @@ class QAEngine:
         ids += [tok.IM_START] + enc("assistant\n")
         return ids, img_positions
 
+    def _encode_vision(self, tiles) -> jnp.ndarray:
+        """Upload host tiles and run the vision tower -> [n_tiles, tok, D].
+
+        uint8 batches that divide evenly into ``_vision_chunk`` are
+        uploaded chunk-wise with the ViT dispatched per chunk, pipelining
+        device compute under the host-side upload serialization (see
+        __init__). Other inputs take the single-shot path."""
+        n = tiles.shape[0]
+        ck = self._vision_chunk
+        if tiles.dtype != np.uint8 or ck <= 0 or n <= ck or n % ck:
+            dev = (jnp.asarray(tiles) if tiles.dtype == np.uint8
+                   else jnp.asarray(tiles, self.dtype))
+            return self._vision_fn(self.params, dev)
+        parts = [jnp.asarray(tiles[i:i + ck]) for i in range(0, n, ck)]
+        outs = [self._vision_fn(self.params, p) for p in parts]
+        return jnp.concatenate(outs, axis=0)
+
     # -- public chat API ----------------------------------------------------
     def chat(
         self,
@@ -531,11 +560,7 @@ class QAEngine:
         stats = {}
 
         t0 = _time.time()
-        dev_tiles = (jnp.asarray(tiles) if tiles.dtype == np.uint8
-                     else jnp.asarray(tiles, self.dtype))
-        vision_tokens = self._vision_fn(
-            self.params, dev_tiles
-        )  # [n_tiles, tok, D]
+        vision_tokens = self._encode_vision(tiles)  # [n_tiles, tok, D]
         vision_tokens = vision_tokens.reshape(-1, vision_tokens.shape[-1])
         if return_stats:
             float(vision_tokens[0, 0])  # fence
@@ -666,9 +691,7 @@ class QAEngine:
         for req in requests:
             tiles, question = req[0], req[1]
             npl = list(req[2]) if len(req) > 2 else [tiles.shape[0]]
-            dev_tiles = (jnp.asarray(tiles) if tiles.dtype == np.uint8
-                         else jnp.asarray(tiles, self.dtype))
-            vision_tokens = self._vision_fn(self.params, dev_tiles)
+            vision_tokens = self._encode_vision(tiles)
             vision_tokens = vision_tokens.reshape(-1, vision_tokens.shape[-1])
             ids, img_positions = self.build_prompt_ids(question, npl)
             if len(img_positions) != vision_tokens.shape[0]:
