@@ -81,6 +81,12 @@ def main():
     ap.add_argument("--max-seq", type=int, default=8192)
     ap.add_argument("--batch", type=int, default=1,
                     help="also bench chat_batch with B concurrent requests")
+    ap.add_argument("--ab-w8a8", action="store_true",
+                    help="after the int8 run, A/B the W8A8 prefill "
+                         "(dynamic int8 activations) in-process")
+    ap.add_argument("--ab-vision-chunks", type=int, default=0,
+                    help="A/B the vision phase only: single-shot vs this "
+                         "chunk size, one process (comparable timings)")
     ap.add_argument("--quant-only", action="store_true",
                     help="skip the bf16 pass (8B-class bf16 exceeds one "
                          "v5e's 16 GB HBM; int8 fits)")
@@ -143,6 +149,28 @@ def main():
         0, 256, (args.frames, 448, 448, 3), dtype=np.uint8
     )
 
+    if args.ab_vision_chunks:
+        # in-process A/B of the chunked vision-upload pipeline (one chip
+        # session -> comparable numbers): fenced vision phase, chunked vs
+        # single-shot, same engine/params
+        from vgqa_tpu.qa import GenerationConfig
+
+        gen = GenerationConfig(max_new_tokens=8, do_sample=False)
+        patches = [1] * args.frames
+        for ck in (0, args.ab_vision_chunks):
+            engine._vision_chunk = ck
+            engine.chat(tiles, "warm", gen, num_patches_list=patches)
+            vs = 0.0
+            for i in range(4):
+                _, st = engine.chat(
+                    tiles, f"q{i}?", gen, num_patches_list=patches,
+                    return_stats=True,
+                )
+                vs += st["vision_s"] / 4
+            print(f"vision chunks={ck}: {vs:.3f} s "
+                  f"({args.frames} tiles)", flush=True)
+        return
+
     bf16 = None
     if not args.quant_only:
         bf16 = run(engine, tiles, args.frames, args.max_new, "bf16 ")
@@ -150,6 +178,33 @@ def main():
     int8 = run(engine, tiles, args.frames, args.max_new, "int8 ")
     if bf16:
         print(f"int8/bf16 speedup: {int8 / bf16:.2f}x", flush=True)
+
+    if args.ab_w8a8:
+        # A/B the W8A8 prefill in-process: the flag is frozen into the
+        # jitted prefill at trace time, so flip it and rebuild the jit
+        # wrappers to force a retrace (same params, one chip session)
+        from vgqa_tpu.qa import GenerationConfig
+
+        gen = GenerationConfig(max_new_tokens=8, do_sample=False)
+        patches = [1] * args.frames
+        for flag in (False, True):
+            engine._w8a8_prefill = flag
+            engine._prefill = jax.jit(
+                engine._prefill_impl, donate_argnums=(3,))
+            engine._prefill_chunked = jax.jit(
+                engine._prefill_chunked_impl, donate_argnums=(3,))
+            engine.chat(tiles, "warm", gen, num_patches_list=patches)
+            ps, toks = 0.0, None
+            for i in range(4):
+                _, st = engine.chat(
+                    tiles, f"q{i}?", gen, num_patches_list=patches,
+                    return_stats=True,
+                )
+                ps += st["prefill_s"] / 4
+                toks = st.get("prefill_tokens", toks)
+            print(f"prefill w8a8={flag}: {ps:.3f} s"
+                  + (f" = {toks / ps:.0f} tok/s" if toks else ""),
+                  flush=True)
 
     if args.batch > 1:
         # concurrent serving: B requests through chat_batch (per-row KV

@@ -127,14 +127,16 @@ class QAEngine:
             return self.vision.apply({"params": p["vision"]}, tiles)
 
         self._vision_fn = jax.jit(_vision_apply)
-        # host->device tile uploads serialize on a background thread and
-        # dominate the vision phase at the 32-frame protocol (19 MB uint8,
-        # ~0.7-1.0 s through the tunnel vs ~0.4 s ViT compute): split the
-        # tile batch into fixed-size chunks, enqueue every chunk's upload
-        # first, then dispatch the ViT per chunk — chunk k's compute
-        # overlaps chunk k+1's serialization. Fixed chunk size keeps it to
-        # one extra compile; 0 disables.
-        self._vision_chunk = int(_os.environ.get("VGQA_VISION_CHUNKS", "8"))
+        # VGQA_VISION_CHUNKS>0: split the tile batch into fixed-size
+        # chunks, enqueue every chunk's upload first, then dispatch the
+        # ViT per chunk — chunk k's compute overlaps chunk k+1's host-side
+        # upload serialization. Measured on-chip at the 32-frame protocol
+        # (2026-08-18, tools/bench_qa.py --ab-vision-chunks 8): 1.002 s
+        # chunked == 1.002 s single-shot on this 1-core tunnel host, and
+        # the chunk shape costs one extra ViT compile at startup — so OFF
+        # by default; the knob exists for serving hosts whose upload/
+        # compute balance differs.
+        self._vision_chunk = int(_os.environ.get("VGQA_VISION_CHUNKS", "0"))
 
         # causal GQA flash prefill: native on TPU; interpret mode for CPU
         # parity testing (VGQA_PALLAS_INTERPRET=1); plain XLA otherwise
