@@ -187,6 +187,8 @@ def main():
 
         gen = GenerationConfig(max_new_tokens=8, do_sample=False)
         patches = [1] * args.frames
+        flag0 = engine._w8a8_prefill
+        wrap0 = (engine._prefill, engine._prefill_chunked)
         for flag in (False, True):
             engine._w8a8_prefill = flag
             engine._prefill = jax.jit(
@@ -205,6 +207,11 @@ def main():
             print(f"prefill w8a8={flag}: {ps:.3f} s"
                   + (f" = {toks / ps:.0f} tok/s" if toks else ""),
                   flush=True)
+        # restore the configured flag and the ORIGINAL compiled wrappers so
+        # later blocks (e.g. --batch) measure the default path without a
+        # retrace
+        engine._w8a8_prefill = flag0
+        engine._prefill, engine._prefill_chunked = wrap0
 
     if args.batch > 1:
         # concurrent serving: B requests through chat_batch (per-row KV
