@@ -70,6 +70,11 @@ def test_two_process_train_and_eval(tmp_path, sp):
             VGQA_MH_OUT=out,
             VGQA_MH_DATA=data_dir,
             VGQA_MH_WORK=str(tmp_path / f"work{rank}"),
+            # on a core-starved host the two ranks' compiles serialize and
+            # can skew by minutes; the default 300 s shutdown barrier then
+            # kills the job from the FASTER rank (observed under a full
+            # contended suite run, 2026-08-18)
+            VGQA_SHUTDOWN_TIMEOUT="850",
         )
         # both ranks share the checkpoint dir like a pod's shared fs
         env["VGQA_MH_WORK"] = str(tmp_path / "work")

@@ -31,6 +31,11 @@ def initialize_multihost() -> None:
     Env contract (mirrors ``torchrun``'s env:// rendezvous):
       VGQA_COORDINATOR  host:port of process 0
       VGQA_NUM_PROCESSES / VGQA_PROCESS_ID
+      VGQA_SHUTDOWN_TIMEOUT  seconds each rank waits at the exit-time
+        shutdown barrier (default jax's 300). Raise it when ranks can
+        skew by minutes — e.g. core-starved CI hosts where per-rank
+        compile/exec serializes (a lagging rank otherwise trips the
+        barrier and the coordination service kills the whole job).
     CPU meshes additionally need gloo collectives, selected here."""
     coord = os.environ.get("VGQA_COORDINATOR")
     if not coord:
@@ -50,7 +55,11 @@ def initialize_multihost() -> None:
     if jax.config.jax_platforms == "cpu" or \
             os.environ.get("VGQA_PLATFORM") == "cpu":
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
-    jax.distributed.initialize(coord, num_processes=nproc, process_id=pid)
+    jax.distributed.initialize(
+        coord, num_processes=nproc, process_id=pid,
+        shutdown_timeout_seconds=int(
+            os.environ.get("VGQA_SHUTDOWN_TIMEOUT", "300")),
+    )
     _warm_all_device_communicator()
 
 
