@@ -91,7 +91,10 @@ def test_two_process_train_and_eval(tmp_path, sp):
     logs = []
     for p in procs:
         try:
-            log, _ = p.communicate(timeout=900)
+            # keep well above VGQA_SHUTDOWN_TIMEOUT=850 so the in-process
+            # barrier (which produces a diagnosable error) governs, not
+            # this harness kill (advisor r3)
+            log, _ = p.communicate(timeout=1200)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

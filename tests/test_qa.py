@@ -118,15 +118,20 @@ def test_encode_vision_chunked_matches_single_shot(tiny_engine):
     raw = np.random.RandomState(7).randint(
         0, 256, (4, s, s, 3), dtype=np.uint8
     )
+    ragged = raw[:3]  # 3 % 2 != 0: prefix chunk + remainder part
     old = eng._vision_chunk
     try:
         eng._vision_chunk = 0
         one = np.asarray(eng._encode_vision(raw))
+        one_ragged = np.asarray(eng._encode_vision(ragged))
         eng._vision_chunk = 2
         chunked = np.asarray(eng._encode_vision(raw))
+        chunked_ragged = np.asarray(eng._encode_vision(ragged))
     finally:
         eng._vision_chunk = old
     np.testing.assert_allclose(chunked, one, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(chunked_ragged, one_ragged,
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_vit_flash_matches_einsum():

@@ -520,13 +520,15 @@ class QAEngine:
     def _encode_vision(self, tiles) -> jnp.ndarray:
         """Upload host tiles and run the vision tower -> [n_tiles, tok, D].
 
-        uint8 batches that divide evenly into ``_vision_chunk`` are
-        uploaded chunk-wise with the ViT dispatched per chunk, pipelining
-        device compute under the host-side upload serialization (see
-        __init__). Other inputs take the single-shot path."""
+        uint8 batches larger than ``_vision_chunk`` are uploaded
+        chunk-wise with the ViT dispatched per chunk, pipelining device
+        compute under the host-side upload serialization (see __init__).
+        A batch that does not divide evenly chunks the divisible prefix
+        and runs the remainder as a final (smaller) part — one extra
+        compiled shape, but the knob never silently no-ops (advisor r3)."""
         n = tiles.shape[0]
         ck = self._vision_chunk
-        if tiles.dtype != np.uint8 or ck <= 0 or n <= ck or n % ck:
+        if tiles.dtype != np.uint8 or ck <= 0 or n <= ck:
             dev = (jnp.asarray(tiles) if tiles.dtype == np.uint8
                    else jnp.asarray(tiles, self.dtype))
             return self._vision_fn(self.params, dev)
