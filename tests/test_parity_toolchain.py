@@ -152,3 +152,35 @@ def test_converted_forward_deltas_reported(tmp_path, capsys):
           f"sted={f_sted:.3e}")
     assert f_boxes < 5e-4, f_boxes   # boxes are sigmoided (0..1 scale)
     assert f_sted < 5e-2, f_sted     # logits scale
+
+
+def test_parity_run_dry_run(tmp_path):
+    """tools/parity_run.py --dry-run must produce a complete
+    PARITY_RESULT.json through the real convert -> key-account -> evaluate
+    chain, and the --reference-json diff must pass against itself."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import parity_run
+
+    out = str(tmp_path / "PARITY_RESULT.json")
+    result = parity_run.main(["--dry-run", "--out", out])
+    assert result["key_accounting"] == "exact"
+    assert result["converted_leaves"] > 100
+    assert set(result["headline"]) == {"m_tiou", "m_viou", "m_gt_viou"}
+    for v in result["headline"].values():
+        assert np.isfinite(v)
+    assert result["pass"] is None  # no reference numbers supplied
+    saved = json.load(open(out))
+    assert saved["headline"] == result["headline"]
+
+    # self-diff: identical numbers must pass the parity gate
+    ref = str(tmp_path / "ref.json")
+    json.dump(saved["metrics"], open(ref, "w"))
+    result2 = parity_run.main(
+        ["--dry-run", "--out", str(tmp_path / "r2.json"),
+         "--reference-json", ref]
+    )
+    assert result2["pass"] is True
+    assert all(d == 0.0 for d in result2["deltas"].values())
