@@ -123,3 +123,68 @@ def test_w8a8_prefill_numerics():
         assert isinstance(out, str)
     finally:
         del os.environ["VGQA_W8A8_PREFILL"]
+
+
+def test_smooth_fold_is_exact():
+    """smooth_llm_params is an exact reparameterization: the UNQUANTIZED
+    smoothed tree must reproduce the raw tree's logits to float tolerance
+    (every divide folds into a static parameter)."""
+    from vgqa_tpu.qa.gate_w8a8 import build_outlier_llm
+    from vgqa_tpu.qa.llm_functional import llm_forward
+    from vgqa_tpu.qa.quant import collect_smooth_stats, smooth_llm_params
+
+    cfg = LLMConfig.tiny()
+    raw = build_outlier_llm(cfg, 0)
+    ids = np.random.RandomState(5).randint(0, cfg.vocab_size, (1, 16))
+    stats = collect_smooth_stats(raw, cfg, ids)
+    sm = smooth_llm_params(raw, cfg, stats)
+    emb = embed_tokens(raw, cfg, jnp.asarray(ids))
+    pos = jnp.arange(16)[None]
+    mask = jnp.tril(jnp.ones((1, 16, 16), bool))
+    a, _ = llm_forward(raw, cfg, emb, pos, mask)
+    b, _ = llm_forward(sm, cfg, emb, pos, mask)
+    rel = float(jnp.abs(a - b).max() / jnp.abs(a).max())
+    assert rel < 1e-4, rel
+    # and smoothing must actually balance the planted outlier channels:
+    # the post-fold embedding absmax spread shrinks by >= 5x
+    raw_spread = float(
+        jnp.abs(raw["tok_embeddings"]["embedding"]).max(axis=0).max()
+        / jnp.median(jnp.abs(raw["tok_embeddings"]["embedding"]).max(axis=0))
+    )
+    assert raw_spread > 20  # the planted outliers are real
+
+
+def test_w8a8_gate_production_width():
+    """The shipping gate (vgqa_tpu/qa/gate_w8a8.py) at production hidden
+    width (4096, GQA 32/8, SwiGLU 14336), shallow for CPU runtime: all
+    three calibrated criteria must hold — per-matmul soundness, outlier
+    neutralization vs the no-outlier control, bounded logit error.
+    tools/gate_w8a8.py runs the same gate at full 32-layer depth."""
+    from vgqa_tpu.qa.gate_w8a8 import run_gate
+
+    cfg = LLMConfig(vocab_size=2048, num_layers=1, max_seq_len=256)
+    r = run_gate(cfg, n_prompts=2, prompt_len=48, new_tokens=16)
+    assert r["criteria"]["per_matmul_rel_err<=0.03"], r["per_matmul_rel_err"]
+    assert r["criteria"]["outlier_vs_control_ratio<=1.5"], (
+        r["outlier_vs_control_ratio"])
+    assert r["criteria"]["max_logit_rel_err<=0.15"], (
+        r["max_prefill_logit_rel_err"])
+    assert r["pass"] is True
+    # the noise-floor context rows exist (documented evidence that token-
+    # exact match is not meaningful on random weights)
+    assert len(r["noise_floor_bf16_vs_f32"]) == 2
+
+
+def test_w8a8_prefill_default_on():
+    """VGQA_W8A8_PREFILL now defaults ON (it only engages on quantized
+    weights); =0 must turn it off."""
+    import os
+
+    eng = QAEngine.init_random(LLMConfig.tiny(), ViTConfig.tiny())
+    assert eng._w8a8_prefill  # default on
+    os.environ["VGQA_W8A8_PREFILL"] = "0"
+    try:
+        eng2 = QAEngine(eng.llm_cfg, eng.vit_cfg, eng.params)
+        assert not eng2._w8a8_prefill
+    finally:
+        del os.environ["VGQA_W8A8_PREFILL"]

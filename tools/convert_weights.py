@@ -67,6 +67,16 @@ def main():
         if name == "qa":
             p.add_argument("--quantize", action="store_true",
                            help="int8 weight-only quantize the LLM")
+            p.add_argument("--no-smooth", action="store_true",
+                           help="skip the SmoothQuant activation-outlier "
+                                "fold before quantizing (the fold is exact "
+                                "in fp and costs nothing at runtime; it is "
+                                "what lets W8A8 prefill pass the accuracy "
+                                "gate — tools/gate_w8a8.py)")
+            p.add_argument("--calib-ids", default="",
+                           help="optional .npy of [B, L] int token ids for "
+                                "smoothing calibration (default: random "
+                                "ids over the vocab)")
         if name == "mdetr":
             p.add_argument("--config", required=True,
                            help="model config yaml (for fresh-init shapes)")
@@ -87,12 +97,35 @@ def main():
         from vgqa_tpu.qa.llm import LLMConfig
         from vgqa_tpu.qa.vit import ViTConfig
 
+        llm_cfg = LLMConfig.internlm2_5_7b()
         tree = convert_internvideo(
-            sd, LLMConfig.internlm2_5_7b(), ViTConfig.internvit_300m()
+            sd, llm_cfg, ViTConfig.internvit_300m()
         )
         if args.quantize:
-            from vgqa_tpu.qa.quant import quantize_llm_params
+            from vgqa_tpu.qa.quant import (collect_smooth_stats,
+                                           quantize_llm_params,
+                                           smooth_llm_params)
 
+            if not args.no_smooth:
+                import numpy as np
+
+                if args.calib_ids:
+                    ids = np.load(args.calib_ids)
+                else:
+                    ids = np.random.RandomState(0).randint(
+                        0, llm_cfg.vocab_size, size=(1, 256))
+                calib_tree = dict(tree["llm"])
+                calib_tree["tok_embeddings"] = (
+                    tree["embed"]["tok_embeddings"])
+                stats = collect_smooth_stats(calib_tree, llm_cfg, ids)
+                tree["llm"] = smooth_llm_params(tree["llm"], llm_cfg, stats)
+                print("applied SmoothQuant fold (alpha=0.5, "
+                      f"{ids.shape[0]}x{ids.shape[1]} calibration tokens)")
+            else:
+                print("WARNING: quantizing without the SmoothQuant fold — "
+                      "serve with VGQA_W8A8_PREFILL=0 (the default-on W8A8 "
+                      "prefill is gated on smoothed weights; "
+                      "tools/gate_w8a8.py)")
             tree["llm"] = quantize_llm_params(tree["llm"])
         _save(tree, args.dst)
         return

@@ -1,0 +1,312 @@
+"""Accuracy gate for the W8A8 prefill path.
+
+The W8A8 prefill (quant.quant_matmul_w8a8: per-token dynamic int8
+activations x per-channel int8 weights on the MXU's double-rate path)
+measured 1.36x over bf16-activation prefill on TPU (BASELINE.md r3). A
+measured win is only shippable behind an accuracy gate; real
+InternVideo2.5 weights cannot exist in this environment (no network), so
+the gate runs the strongest proxy available:
+
+* **production geometry** — hidden 4096, GQA 32 query / 8 kv heads,
+  SwiGLU 14336, the exact shapes the serving engine quantizes,
+* **outlier-realistic weights** — real LLM residual streams carry a few
+  persistent high-magnitude channels (the reason SmoothQuant exists);
+  the builder plants heavy-tailed per-channel scales in the embedding
+  (lognormal body + forced 30-80x outlier channels) and lognormal
+  per-output-channel weight scales, so post-RMSNorm activations show the
+  exact failure mode per-token absmax quantization is vulnerable to,
+* **calibrated criteria** — a MEASURED finding (2026-08-19, this
+  repo): on a random-weight model, free-running greedy decode is
+  chaotic under ANY numeric perturbation — the pure-precision noise
+  floor (bf16- vs f32-activation prefill, no quantization anywhere)
+  already diverges after 35-43 of 64 tokens, because random logits are
+  nearly flat (top-1/top-2 gap ~2-5% of |logits|; trained models have
+  peaked, high-margin logits). Token-exact match on the random proxy is
+  therefore unattainable *for any 8-bit scheme* and is NOT the pass
+  criterion here; instead the proxy gate passes on:
+
+  1. per-matmul W8A8-vs-weight-only rel error <= 3% on real layer
+     activations (implementation soundness: a wrong scale axis or
+     transpose blows this to >= 50%; measured 1.1% at 4096-width),
+  2. outlier neutralization: full-model logit error of the
+     outlier-planted model <= 1.5x a no-outlier control (the SmoothQuant
+     fold must remove the planted outliers' entire effect; measured
+     ratio 1.03), and
+  3. an absolute last-token logit error bound (<= 15%; measured ~7%
+     at prod width — intrinsic 8-bit accumulation on random weights,
+     identical with and without outliers).
+
+  Free-running token-match and the precision noise floor are REPORTED
+  alongside for context. With REAL trained weights (``params=`` /
+  tools/gate_w8a8.py --params-dir), the gate switches to the strict
+  criterion: greedy decode must match token-for-token, which peaked
+  trained logits support.
+
+Replaces nothing in the reference (its fp16 multi-GPU serving has no
+quantization, /root/reference/vgqa/inference/qa.py:176-182); this is the
+TPU single-chip serving answer's safety net.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .llm import LLMConfig
+from .llm_functional import llm_forward
+from .quant import (collect_smooth_stats, quantize_llm_params,
+                    smooth_llm_params)
+
+
+def build_outlier_llm(cfg: LLMConfig, seed: int = 0) -> Dict[str, Any]:
+    """Random LLM param tree with realistic channel-outlier structure.
+
+    Returns the RAW (unquantized) tree: {layer_i: {...}, final_norm,
+    lm_head, tok_embeddings}."""
+    rng = np.random.RandomState(seed)
+    D, I = cfg.hidden_size, cfg.intermediate_size
+    hd = cfg.head_dim
+
+    def chan_scales(n, sigma=0.5):
+        return rng.lognormal(0.0, sigma, size=n).astype(np.float32)
+
+    def kernel(fan_in, fan_out, gain=1.0, sigma=0.5):
+        w = rng.randn(fan_in, fan_out).astype(np.float32)
+        w *= gain / np.sqrt(fan_in)
+        return jnp.asarray(w * chan_scales(fan_out, sigma)[None, :])
+
+    # embedding with heavy-tailed per-channel scales: a lognormal body plus
+    # a handful of forced 30-80x outlier channels. These channels persist
+    # through the residual stream (projection outputs are comparatively
+    # small), reproducing the "few huge channels" structure of real
+    # transformer activations.
+    emb_scale = rng.lognormal(0.0, 1.0, size=D).astype(np.float32)
+    outlier_idx = rng.choice(D, size=max(4, D // 256), replace=False)
+    emb_scale[outlier_idx] = rng.uniform(30.0, 80.0, size=len(outlier_idx))
+    emb = rng.randn(cfg.vocab_size, D).astype(np.float32) * 0.02
+    emb *= emb_scale[None, :]
+
+    # residual-branch gain ~ 1/sqrt(2*layers) keeps the stream stable over
+    # depth with random weights (muP-style), so deep gates stay finite
+    res_gain = 1.0 / np.sqrt(2.0 * cfg.num_layers)
+
+    params: Dict[str, Any] = {
+        "tok_embeddings": {"embedding": jnp.asarray(emb)},
+        "final_norm": {"scale": jnp.ones((D,), jnp.float32)},
+        "lm_head": {"kernel": kernel(D, cfg.vocab_size, 1.0, 0.3)},
+    }
+    for i in range(cfg.num_layers):
+        params[f"layer_{i}"] = {
+            "attn_norm": {"scale": jnp.asarray(
+                1.0 + 0.1 * rng.randn(D).astype(np.float32))},
+            "mlp_norm": {"scale": jnp.asarray(
+                1.0 + 0.1 * rng.randn(D).astype(np.float32))},
+            "q_proj": {"kernel": kernel(D, cfg.num_heads * hd)},
+            "k_proj": {"kernel": kernel(D, cfg.num_kv_heads * hd)},
+            "v_proj": {"kernel": kernel(D, cfg.num_kv_heads * hd)},
+            "o_proj": {"kernel": kernel(cfg.num_heads * hd, D, res_gain)},
+            "gate_proj": {"kernel": kernel(D, I)},
+            "up_proj": {"kernel": kernel(D, I)},
+            "down_proj": {"kernel": kernel(I, D, res_gain)},
+        }
+    return params
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(1, 4, 5, 6))
+def _prefill_and_decode(params, cfg: LLMConfig, embeds, length,
+                        new_tokens: int, w8a8: bool, dtype):
+    """Prefill the prompt (w8a8 or exact activations) then greedy-decode
+    ``new_tokens`` with EXACT activations (what the serving engine does:
+    only the compute-bound prefill is quantized). Returns (tokens
+    [new_tokens] int32, last prefill logits [V] f32). Jitted once per
+    (cfg, shape, w8a8); ``length`` is traced."""
+    from .llm_functional import embed_tokens
+
+    Lp = embeds.shape[1]
+    S = Lp + new_tokens
+
+    pos = jnp.arange(Lp)[None]
+    idx = jnp.arange(Lp)
+    mask = (idx[None, :, None] >= idx[None, None, :]) & (
+        idx[None, None, :] < length
+    )
+    logits, kv = llm_forward(
+        params, cfg, embeds, pos, mask,
+        lm_head_rows=(length - 1)[None], w8a8=w8a8,
+    )
+    # move prefill kv into a [B, KVH, S, hd] cache
+    cache = [
+        (
+            jnp.zeros((1, cfg.num_kv_heads, S, cfg.head_dim), dtype)
+            .at[:, :, :Lp].set(k.astype(dtype)),
+            jnp.zeros((1, cfg.num_kv_heads, S, cfg.head_dim), dtype)
+            .at[:, :, :Lp].set(v.astype(dtype)),
+        )
+        for k, v in kv
+    ]
+
+    def step(carry, _):
+        cache, logits, position = carry
+        next_id = jnp.argmax(logits[0, 0]).astype(jnp.int32)
+        embeds = embed_tokens(params, cfg, next_id[None, None])
+        mask = (jnp.arange(S)[None, None, :] <= position)
+        new_logits, new_cache = llm_forward(
+            params, cfg, embeds.astype(dtype), position[None, None],
+            mask, cache=cache, cache_index=position,
+        )
+        return (new_cache, new_logits, position + 1), next_id
+
+    init = (cache, logits, length.astype(jnp.int32))
+    _, tokens = jax.lax.scan(step, init, None, length=new_tokens)
+    return tokens, logits[0, 0].astype(jnp.float32)
+
+
+def run_gate(
+    cfg: LLMConfig,
+    n_prompts: int = 4,
+    prompt_len: int = 96,
+    new_tokens: int = 64,
+    dtype=jnp.bfloat16,
+    seed: int = 0,
+    params: Dict[str, Any] | None = None,
+    smooth: bool = True,
+    smooth_alpha: float = 0.5,
+) -> Dict[str, Any]:
+    """Run the gate; returns a dict with per-prompt match results.
+
+    ``params``: pass a pre-built raw tree to gate real (converted)
+    weights — switches to the STRICT criterion (token-exact greedy
+    match); default builds the outlier-realistic random tree and uses
+    the calibrated criteria (module docstring). ``smooth`` applies the
+    SmoothQuant fold (quant.smooth_llm_params) before quantization,
+    calibrated on a HELD-OUT random prompt (different stream than the
+    eval prompts) — matching what tools/convert_weights.py does."""
+    from .llm_functional import _rms_norm, embed_tokens
+    from .quant import quant_matmul, quant_matmul_w8a8
+
+    real_weights = params is not None
+    raw = params if real_weights else build_outlier_llm(cfg, seed)
+    rng = np.random.RandomState(seed + 1)
+    calib = np.random.RandomState(seed + 999).randint(
+        0, cfg.vocab_size, size=(1, prompt_len))
+
+    def prep(tree):
+        if smooth:
+            stats = collect_smooth_stats(tree, cfg, calib,
+                                         dtype=jnp.float32)
+            tree = smooth_llm_params(tree, cfg, stats, alpha=smooth_alpha)
+        return quantize_llm_params(tree)
+
+    qparams = prep(raw)
+
+    # no-outlier control (random proxy only): same pipeline on a model
+    # whose embedding has NO planted outlier channels — the smoothing
+    # fold must make the outlier model quantize as well as this one
+    q_control = None
+    if not real_weights:
+        control = build_outlier_llm(cfg, seed)
+        emb = np.asarray(control["tok_embeddings"]["embedding"])
+        flat = (np.random.RandomState(seed + 5)
+                .randn(*emb.shape).astype(np.float32) * 0.02)
+        control["tok_embeddings"] = {"embedding": jnp.asarray(flat)}
+        q_control = prep(control)
+
+    def eval_prompts(qp, ids_list, w8a8_b=True, dt_a=dtype, dt_b=dtype):
+        rows = []
+        for pi, ids in enumerate(ids_list):
+            embeds = embed_tokens(qp, cfg, jnp.asarray(ids))
+            length = jnp.asarray(ids.shape[1], jnp.int32)
+            tok_a, log_a = _prefill_and_decode(
+                qp, cfg, embeds.astype(dt_a), length, new_tokens, False,
+                dt_a)
+            tok_b, log_b = _prefill_and_decode(
+                qp, cfg, embeds.astype(dt_b), length, new_tokens, w8a8_b,
+                dt_b)
+            tok_a, tok_b = np.asarray(tok_a), np.asarray(tok_b)
+            la = np.asarray(log_a, np.float32)
+            lb = np.asarray(log_b, np.float32)
+            n_match = int((tok_a == tok_b).cumprod().sum())
+            rel = float(np.abs(la - lb).max() / max(np.abs(la).max(), 1e-6))
+            srt = np.sort(la)[::-1]
+            rows.append({
+                "prompt": pi,
+                "tokens_matched": n_match,
+                "tokens_total": int(new_tokens),
+                "exact_match": bool(n_match == new_tokens),
+                "prefill_logit_max_rel_err": rel,
+                "baseline_top_gap": float(srt[0] - srt[1]),
+                "baseline_logit_absmax": float(np.abs(la).max()),
+            })
+        return rows
+
+    prompts = [rng.randint(0, cfg.vocab_size, size=(1, prompt_len))
+               for _ in range(n_prompts)]
+    results = eval_prompts(qparams, prompts)
+
+    # criterion 1: per-matmul soundness on real layer-0 activations
+    emb0 = embed_tokens(qparams, cfg, jnp.asarray(prompts[0])).astype(dtype)
+    h0 = _rms_norm(emb0, qparams["layer_0"]["attn_norm"], cfg.rms_eps)
+    a = quant_matmul(h0, qparams["layer_0"]["q_proj"]).astype(jnp.float32)
+    b = quant_matmul_w8a8(
+        h0, qparams["layer_0"]["q_proj"]).astype(jnp.float32)
+    per_matmul = float(jnp.abs(a - b).max() / jnp.abs(a).max())
+
+    out: Dict[str, Any] = {
+        "geometry": {
+            "hidden": cfg.hidden_size, "layers": cfg.num_layers,
+            "heads": f"{cfg.num_heads}/{cfg.num_kv_heads} (GQA)",
+            "intermediate": cfg.intermediate_size,
+            "vocab": cfg.vocab_size,
+        },
+        "protocol": {
+            "n_prompts": n_prompts, "prompt_len": prompt_len,
+            "new_tokens": new_tokens,
+            "dtype": getattr(dtype, "__name__", str(dtype)),
+            "weights": "supplied (STRICT token-match criterion)"
+                       if real_weights else
+                       "random outlier-realistic (calibrated criteria)",
+            "smooth": bool(smooth),
+            "smooth_alpha": float(smooth_alpha) if smooth else None,
+        },
+        "results": results,
+        "per_matmul_rel_err": per_matmul,
+        "max_prefill_logit_rel_err": max(
+            r["prefill_logit_max_rel_err"] for r in results),
+        "greedy_match": all(r["exact_match"] for r in results),
+    }
+
+    if real_weights:
+        out["criteria"] = {
+            "strict_greedy_match": out["greedy_match"],
+            "per_matmul_rel_err<=0.03": per_matmul <= 0.03,
+        }
+        out["pass"] = bool(out["greedy_match"] and per_matmul <= 0.03)
+        return out
+
+    # criterion 2: the control model (no planted outliers)
+    control_rows = eval_prompts(q_control, prompts)
+    control_err = max(r["prefill_logit_max_rel_err"] for r in control_rows)
+    outlier_ratio = out["max_prefill_logit_rel_err"] / max(control_err,
+                                                           1e-6)
+    # context: the pure-precision noise floor (bf16 vs f32, NO act quant)
+    floor_rows = eval_prompts(qparams, prompts[:2], w8a8_b=False,
+                              dt_a=jnp.bfloat16, dt_b=jnp.float32)
+    out["control_no_outliers"] = {
+        "max_prefill_logit_rel_err": control_err,
+        "results": control_rows,
+    }
+    out["noise_floor_bf16_vs_f32"] = floor_rows
+    out["criteria"] = {
+        "per_matmul_rel_err<=0.03": per_matmul <= 0.03,
+        "outlier_vs_control_ratio<=1.5": outlier_ratio <= 1.5,
+        "max_logit_rel_err<=0.15": out["max_prefill_logit_rel_err"] <= 0.15,
+    }
+    out["outlier_vs_control_ratio"] = float(outlier_ratio)
+    out["pass"] = bool(all(out["criteria"].values()))
+    return out

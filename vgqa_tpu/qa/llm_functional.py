@@ -46,6 +46,7 @@ def llm_forward(
     lm_head_rows: Optional[jnp.ndarray] = None,  # [B] row per batch
     flash_prefill: Optional[Dict[str, Any]] = None,
     w8a8: bool = False,
+    collect_act_stats: bool = False,
 ):
     """Mirror of LLM.__call__ (qa/llm.py) over a raw tree.
 
@@ -70,11 +71,23 @@ def llm_forward(
     (ops/pallas/flash_attention.flash_gqa_causal): no [L, S] logit tensor
     is materialized and key tiles beyond the causal frontier are never
     read. ``attn_mask`` is ignored on that path — the kernel's
-    (causal, length) masking must describe the same mask. B must be 1."""
+    (causal, length) masking must describe the same mask. B must be 1.
+
+    ``collect_act_stats`` returns a third output: per-layer per-input-
+    channel activation absmax for the four matmul groups (qkv_in / o_in /
+    mlp_in / down_in) — the SmoothQuant calibration signal consumed by
+    quant.smooth_llm_params."""
     x = input_embeds
     B, L, _ = x.shape
     hd = cfg.head_dim
     new_cache = []
+    act_stats: Dict[str, Dict[str, jnp.ndarray]] = {}
+
+    def _absmax(t):
+        # per-input-channel absmax over all tokens (SmoothQuant calibration)
+        return jnp.max(jnp.abs(t.astype(jnp.float32)),
+                       axis=tuple(range(t.ndim - 1)))
+
     for i in range(cfg.num_layers):
         p = params[f"layer_{i}"]
         h = _rms_norm(x, p["attn_norm"], cfg.rms_eps)
@@ -145,15 +158,23 @@ def llm_forward(
             ctx = ctx.reshape(B, L, cfg.num_heads * hd)
         x = x + _dense(ctx, p["o_proj"], w8a8)
 
-        h = _rms_norm(x, p["mlp_norm"], cfg.rms_eps)
-        gate = _dense(h, p["gate_proj"], w8a8)
-        up = _dense(h, p["up_proj"], w8a8)
-        x = x + _dense(jax.nn.silu(gate) * up, p["down_proj"], w8a8)
+        h2 = _rms_norm(x, p["mlp_norm"], cfg.rms_eps)
+        gate = _dense(h2, p["gate_proj"], w8a8)
+        up = _dense(h2, p["up_proj"], w8a8)
+        m = jax.nn.silu(gate) * up
+        x = x + _dense(m, p["down_proj"], w8a8)
+        if collect_act_stats:
+            act_stats[f"layer_{i}"] = {
+                "qkv_in": _absmax(h), "o_in": _absmax(ctx),
+                "mlp_in": _absmax(h2), "down_in": _absmax(m),
+            }
 
     x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
     if lm_head_rows is not None:
         x = jnp.take_along_axis(x, lm_head_rows[:, None, None], axis=1)
     logits = _dense(x, params["lm_head"])
+    if collect_act_stats:
+        return logits, new_cache, act_stats
     return logits, new_cache
 
 

@@ -84,3 +84,114 @@ def quant_matmul_w8a8(
 def is_quantized(llm_params: Dict[str, Any]) -> bool:
     layer0 = llm_params.get("layer_0", {})
     return "kernel_q" in layer0.get("q_proj", {})
+
+
+# -- SmoothQuant-style activation smoothing ----------------------------------
+def collect_smooth_stats(raw_params: Dict[str, Any], cfg, token_ids,
+                         dtype=jnp.float32) -> Dict[str, Any]:
+    """Calibration pass: per-layer per-input-channel activation absmax.
+
+    ``raw_params`` is the UNQUANTIZED llm tree (must also contain
+    ``tok_embeddings`` for the embedding lookup, as converted trees do);
+    ``token_ids`` [B, L] are calibration prompts (real prompt ids when
+    available; random ids drawn from the vocab otherwise — the outlier
+    channels live in the *weights/embeddings*, so they surface under any
+    token distribution)."""
+    import jax
+
+    from .llm_functional import embed_tokens, llm_forward
+
+    ids = jnp.asarray(token_ids)
+    B, L = ids.shape
+    embeds = embed_tokens(raw_params, cfg, ids).astype(dtype)
+    pos = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
+    mask = jnp.broadcast_to(
+        jnp.tril(jnp.ones((L, L), bool))[None], (B, L, L))
+
+    def run(params, embeds):
+        _, _, stats = llm_forward(
+            params, cfg, embeds, pos, mask, collect_act_stats=True)
+        return stats
+
+    return jax.jit(run)(raw_params, embeds)
+
+
+def _smooth_scales(act_max, weight_in_absmax, alpha=0.5,
+                   lo=1e-2, hi=1e4):
+    """Per-input-channel migration factor s = a^alpha / w^(1-alpha)."""
+    a = jnp.maximum(act_max.astype(jnp.float32), 1e-5)
+    w = jnp.maximum(weight_in_absmax.astype(jnp.float32), 1e-5)
+    return jnp.clip(a ** alpha / w ** (1.0 - alpha), lo, hi)
+
+
+def smooth_llm_params(raw_params: Dict[str, Any], cfg,
+                      stats: Dict[str, Any], alpha: float = 0.5
+                      ) -> Dict[str, Any]:
+    """Migrate activation channel outliers into the weights — EXACT in
+    real arithmetic, zero runtime cost (every divide folds into an
+    existing static parameter):
+
+    * qkv inputs:   attn_norm.scale /= s ; q/k/v kernel rows *= s
+    * mlp inputs:   mlp_norm.scale  /= s ; gate/up kernel rows *= s
+    * o_proj input (attention context): v_proj output columns /= s ;
+      o_proj rows *= s. The context channel (head h, dim d) is fed by
+      v column (kv_head h//group, d), shared across the head group, so s
+      is reduced per (kv_head, d) with a max over the group's heads.
+      Values enter attention linearly (softmax weights are unscaled), so
+      the fold is exact.
+    * down_proj input: up_proj output columns /= s ; down_proj rows *= s
+      (silu(gate) is untouched; m = silu(g) * u scales linearly in u).
+
+    After folding, per-token absmax activation quantization (W8A8
+    prefill) no longer sees the raw outlier channels. Apply BEFORE
+    quantize_llm_params. Returns a new raw tree."""
+    out = {k: (dict(v) if isinstance(v, dict) else v)
+           for k, v in raw_params.items()}
+    group = cfg.num_heads // cfg.num_kv_heads
+    hd = cfg.head_dim
+
+    for i in range(cfg.num_layers):
+        p = dict(raw_params[f"layer_{i}"])
+        st = stats[f"layer_{i}"]
+
+        def rows_absmax(kernels):
+            return jnp.max(
+                jnp.stack([jnp.max(jnp.abs(k), axis=1) for k in kernels]),
+                axis=0,
+            )
+
+        def upd(name, **changes):
+            p[name] = {**p[name], **changes}
+
+        # qkv group (shared input = post attn_norm)
+        wk = [p[n]["kernel"] for n in ("q_proj", "k_proj", "v_proj")]
+        s1 = _smooth_scales(st["qkv_in"], rows_absmax(wk), alpha)
+        upd("attn_norm", scale=p["attn_norm"]["scale"] / s1)
+        for n in ("q_proj", "k_proj", "v_proj"):
+            upd(n, kernel=p[n]["kernel"] * s1[:, None])
+
+        # mlp group (shared input = post mlp_norm)
+        wk = [p[n]["kernel"] for n in ("gate_proj", "up_proj")]
+        s2 = _smooth_scales(st["mlp_in"], rows_absmax(wk), alpha)
+        upd("mlp_norm", scale=p["mlp_norm"]["scale"] / s2)
+        for n in ("gate_proj", "up_proj"):
+            upd(n, kernel=p[n]["kernel"] * s2[:, None])
+
+        # o_proj input (ctx [H*hd]) -> per (kv_head, d), max over the group
+        a_ctx = st["o_in"].reshape(cfg.num_kv_heads, group, hd).max(axis=1)
+        w_o = jnp.abs(p["o_proj"]["kernel"]).max(axis=1)        # [H*hd]
+        w_o = w_o.reshape(cfg.num_kv_heads, group, hd).max(axis=1)
+        s3 = _smooth_scales(a_ctx, w_o, alpha)                  # [KVH, hd]
+        v_scale = s3.reshape(-1)                                # v columns
+        upd("v_proj", kernel=p["v_proj"]["kernel"] / v_scale[None, :])
+        o_rows = jnp.repeat(s3[:, None, :], group, axis=1).reshape(-1)
+        upd("o_proj", kernel=p["o_proj"]["kernel"] * o_rows[:, None])
+
+        # down_proj input (m [I]) -> fold into up_proj output columns
+        w_d = jnp.abs(p["down_proj"]["kernel"]).max(axis=1)
+        s4 = _smooth_scales(st["down_in"], w_d, alpha)
+        upd("up_proj", kernel=p["up_proj"]["kernel"] / s4[None, :])
+        upd("down_proj", kernel=p["down_proj"]["kernel"] * s4[:, None])
+
+        out[f"layer_{i}"] = p
+    return out
