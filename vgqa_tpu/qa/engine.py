@@ -57,6 +57,11 @@ class GenerationConfig:
     temperature: float = 0.2
     top_p: float = 0.9
     do_sample: bool = True
+    # benchmarking: decode exactly max_new_tokens even if EOS fires (the
+    # while_loop decode exits early on EOS, which is right for serving but
+    # makes tok/s measurements depend on where a random model happens to
+    # emit EOS)
+    ignore_eos: bool = False
 
 
 def _bucket(n: int, minimum: int = 64) -> int:
@@ -146,11 +151,17 @@ class QAEngine:
         self.use_flash_prefill = (
             jax.default_backend() == "tpu" or self._flash_interpret
         )
-        # VGQA_W8A8_PREFILL=1: per-row dynamic int8 activations in the
-        # compute-bound prefill matmuls (int8 x int8 hits the MXU's
-        # double-rate path); decode keeps exact bf16 activations. Off by
-        # default pending an accuracy pass against real weights.
-        self._w8a8_prefill = _os.environ.get("VGQA_W8A8_PREFILL") == "1"
+        # W8A8 prefill (ON by default, VGQA_W8A8_PREFILL=0 disables):
+        # per-token dynamic int8 activations in the compute-bound prefill
+        # matmuls (int8 x int8 hits the MXU's double-rate path — measured
+        # 1.36x, BASELINE.md); decode keeps exact bf16 activations. Only
+        # engages when the weights are int8-quantized; shipped behind the
+        # SmoothQuant fold + greedy-match accuracy gate
+        # (tools/gate_w8a8.py, tests/test_quant.py) — convert with
+        # tools/convert_weights.py qa --quantize (smoothing on by default).
+        self._w8a8_prefill = (
+            _os.environ.get("VGQA_W8A8_PREFILL", "1") != "0"
+        )
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(3,))
         self._prefill_chunked = jax.jit(self._prefill_chunked_impl,
                                         donate_argnums=(3,))
@@ -320,31 +331,40 @@ class QAEngine:
 
     def _greedy_loop_impl(self, params, cache, first_logits, start_position,
                           stop_ids, max_new_tokens):
-        """Whole greedy generation as ONE device program (lax.scan): no
-        per-token host round-trips (~50 ms each through this environment's
-        tunnel — BASELINE.md)."""
+        """Whole greedy generation as ONE device program: no per-token
+        host round-trips (~50 ms each through this environment's tunnel —
+        BASELINE.md). A while_loop (not scan) so generation STOPS at the
+        stop token instead of riding the full max_new_tokens budget — a
+        20-token answer costs 20 decode steps, not 128 (r4; the emitted
+        buffer stays [max_new_tokens] with -1 past the stop, so callers
+        are unchanged)."""
         from .llm_functional import embed_tokens, llm_forward
 
         S = cache[0][0].shape[2]
+        tokens0 = jnp.full((max_new_tokens,), -1, jnp.int32)
 
-        def step(carry, _):
-            cache, logits, position, done = carry
+        def cond(state):
+            _, _, _, done, t, _ = state
+            return (t < max_new_tokens) & ~done
+
+        def body(state):
+            cache, logits, position, done, t, tokens = state
             next_id = jnp.argmax(logits[0]).astype(jnp.int32)
             is_stop = jnp.any(next_id == stop_ids) | (position >= S - 1)
             emit = jnp.where(done | is_stop, -1, next_id)
+            tokens = jax.lax.dynamic_update_index_in_dim(tokens, emit, t, 0)
             embeds = embed_tokens(params["embed"], self.llm_cfg, emit[None, None])
             mask = (jnp.arange(S)[None, None, :] <= position)
             new_logits, new_cache = llm_forward(
                 params["llm"], self.llm_cfg, embeds,
                 position[None, None], mask, cache=cache, cache_index=position,
             )
-            new_done = done | is_stop
-            return (new_cache, new_logits[:, 0], position + 1, new_done), emit
+            return (new_cache, new_logits[:, 0], position + 1,
+                    done | is_stop, t + 1, tokens)
 
-        init = (cache, first_logits, start_position, jnp.asarray(False))
-        (_, _, _, _), tokens = jax.lax.scan(
-            step, init, None, length=max_new_tokens
-        )
+        state = (cache, first_logits, start_position, jnp.asarray(False),
+                 jnp.asarray(0, jnp.int32), tokens0)
+        *_, tokens = jax.lax.while_loop(cond, body, state)
         return tokens  # [max_new_tokens], -1 past the stop
 
     def _greedy_batch_impl(self, params, cache, first_logits, positions,
@@ -359,18 +379,26 @@ class QAEngine:
 
         Net-new vs the reference, which serves strictly one request at a
         time (/root/reference/app/server.py's single-flight lock around
-        model.chat)."""
+        model.chat). The while_loop exits when EVERY row has stopped, so
+        a batch of short answers does not ride the full token budget."""
         from .llm_functional import embed_tokens, llm_forward
 
         S = cache[0][0].shape[2]
+        B = first_logits.shape[0]
+        tokens0 = jnp.full((max_new_tokens, B), -1, jnp.int32)
 
-        def step(carry, t):
-            cache, logits, position, done = carry
+        def cond(state):
+            _, _, _, done, t, _ = state
+            return (t < max_new_tokens) & ~jnp.all(done)
+
+        def body(state):
+            cache, logits, position, done, t, tokens = state
             next_id = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # [B]
             is_stop = jnp.any(
                 next_id[:, None] == stop_ids[None, :], axis=-1
             ) | (position >= S - 1) | (t >= limits)
             emit = jnp.where(done | is_stop, -1, next_id)
+            tokens = jax.lax.dynamic_update_index_in_dim(tokens, emit, t, 0)
             embeds = embed_tokens(
                 params["embed"], self.llm_cfg, emit[:, None]
             )
@@ -379,14 +407,13 @@ class QAEngine:
                 params["llm"], self.llm_cfg, embeds,
                 position[:, None], mask, cache=cache, cache_index=position,
             )
-            new_done = done | is_stop
-            return (new_cache, new_logits[:, 0], position + 1, new_done), emit
+            return (new_cache, new_logits[:, 0], position + 1,
+                    done | is_stop, t + 1, tokens)
 
-        done0 = jnp.zeros(first_logits.shape[0], bool)
-        init = (cache, first_logits, positions, done0)
-        _, tokens = jax.lax.scan(
-            step, init, jnp.arange(max_new_tokens), length=max_new_tokens
-        )
+        done0 = jnp.zeros(B, bool)
+        state = (cache, first_logits, positions, done0,
+                 jnp.asarray(0, jnp.int32), tokens0)
+        *_, tokens = jax.lax.while_loop(cond, body, state)
         return tokens  # [max_new_tokens, B]
 
     def _sample_batch_impl(self, params, cache, first_logits, positions,
@@ -419,9 +446,15 @@ class QAEngine:
             return jnp.where(temperature > 0, sampled, greedy)
 
         pick = jax.vmap(pick_row)
+        B = first_logits.shape[0]
+        tokens0 = jnp.full((max_new_tokens, B), -1, jnp.int32)
 
-        def step(carry, t):
-            cache, logits, position, done, keys = carry
+        def cond(state):
+            _, _, _, done, _, t, _ = state
+            return (t < max_new_tokens) & ~jnp.all(done)
+
+        def body(state):
+            cache, logits, position, done, keys, t, tokens = state
             splits = jax.vmap(jax.random.split)(keys)      # [B, 2, key]
             new_keys, subs = splits[:, 0], splits[:, 1]
             next_id = pick(logits, subs, temps, top_ps)    # [B]
@@ -429,6 +462,7 @@ class QAEngine:
                 next_id[:, None] == stop_ids[None, :], axis=-1
             ) | (position >= S - 1) | (t >= limits)
             emit = jnp.where(done | is_stop, -1, next_id)
+            tokens = jax.lax.dynamic_update_index_in_dim(tokens, emit, t, 0)
             embeds = embed_tokens(
                 params["embed"], self.llm_cfg, emit[:, None]
             )
@@ -438,13 +472,12 @@ class QAEngine:
                 position[:, None], mask, cache=cache, cache_index=position,
             )
             return (new_cache, new_logits[:, 0], position + 1,
-                    done | is_stop, new_keys), emit
+                    done | is_stop, new_keys, t + 1, tokens)
 
-        done0 = jnp.zeros(first_logits.shape[0], bool)
-        init = (cache, first_logits, positions, done0, keys)
-        _, tokens = jax.lax.scan(
-            step, init, jnp.arange(max_new_tokens), length=max_new_tokens
-        )
+        done0 = jnp.zeros(B, bool)
+        state = (cache, first_logits, positions, done0, keys,
+                 jnp.asarray(0, jnp.int32), tokens0)
+        *_, tokens = jax.lax.while_loop(cond, body, state)
         return tokens  # [max_new_tokens, B]
 
     def _sample_loop_impl(self, params, cache, first_logits, start_position,
@@ -465,12 +498,19 @@ class QAEngine:
             masked = jnp.where(scaled >= cutoff, scaled, -jnp.inf)
             return jax.random.categorical(key, masked).astype(jnp.int32)
 
-        def step(carry, _):
-            cache, logits, position, done, key = carry
+        tokens0 = jnp.full((max_new_tokens,), -1, jnp.int32)
+
+        def cond(state):
+            _, _, _, done, _, t, _ = state
+            return (t < max_new_tokens) & ~done
+
+        def body(state):
+            cache, logits, position, done, key, t, tokens = state
             key, sub = jax.random.split(key)
             next_id = pick(logits[0], sub)
             is_stop = jnp.any(next_id == stop_ids) | (position >= S - 1)
             emit = jnp.where(done | is_stop, -1, next_id)
+            tokens = jax.lax.dynamic_update_index_in_dim(tokens, emit, t, 0)
             embeds = embed_tokens(params["embed"], self.llm_cfg, emit[None, None])
             mask = (jnp.arange(S)[None, None, :] <= position)
             new_logits, new_cache = llm_forward(
@@ -478,10 +518,11 @@ class QAEngine:
                 position[None, None], mask, cache=cache, cache_index=position,
             )
             return (new_cache, new_logits[:, 0], position + 1,
-                    done | is_stop, key), emit
+                    done | is_stop, key, t + 1, tokens)
 
-        init = (cache, first_logits, start_position, jnp.asarray(False), rng)
-        _, tokens = jax.lax.scan(step, init, None, length=max_new_tokens)
+        state = (cache, first_logits, start_position, jnp.asarray(False),
+                 rng, jnp.asarray(0, jnp.int32), tokens0)
+        *_, tokens = jax.lax.while_loop(cond, body, state)
         return tokens
 
     # -- prompt assembly ----------------------------------------------------
@@ -620,7 +661,8 @@ class QAEngine:
         tok = self.tokenizer
         if not gen.do_sample or gen.temperature <= 0:
             # greedy: one device program for the whole generation
-            stop_ids = jnp.asarray([tok.EOS, tok.IM_END], jnp.int32)
+            stop_ids = (jnp.asarray([-1, -1], jnp.int32) if gen.ignore_eos
+                    else jnp.asarray([tok.EOS, tok.IM_END], jnp.int32))
             tokens = self._greedy_loop(
                 self.params, cache, logits,
                 jnp.asarray(length, jnp.int32), stop_ids, gen.max_new_tokens,
@@ -629,13 +671,15 @@ class QAEngine:
             text = self.tokenizer.decode(out_ids)
             if return_stats:
                 stats["decode_s"] = _time.time() - t0
-                stats["decode_tokens"] = gen.max_new_tokens
-                stats["decode_tok_s"] = gen.max_new_tokens / stats["decode_s"]
+                stats["decode_tokens"] = len(out_ids)
+                stats["decode_tok_s"] = (
+                    max(len(out_ids), 1) / stats["decode_s"])
                 return text, stats
             return text
 
         # temperature/top-p sampling, also as one device program
-        stop_ids = jnp.asarray([tok.EOS, tok.IM_END], jnp.int32)
+        stop_ids = (jnp.asarray([-1, -1], jnp.int32) if gen.ignore_eos
+                    else jnp.asarray([tok.EOS, tok.IM_END], jnp.int32))
         tokens = self._sample_loop(
             self.params, cache, logits, jnp.asarray(length, jnp.int32),
             stop_ids, gen.max_new_tokens, rng,
@@ -646,8 +690,8 @@ class QAEngine:
         text = self.tokenizer.decode(out_ids)
         if return_stats:
             stats["decode_s"] = _time.time() - t0
-            stats["decode_tokens"] = gen.max_new_tokens
-            stats["decode_tok_s"] = gen.max_new_tokens / stats["decode_s"]
+            stats["decode_tokens"] = len(out_ids)
+            stats["decode_tok_s"] = max(len(out_ids), 1) / stats["decode_s"]
             return text, stats
         return text
 
@@ -740,7 +784,9 @@ class QAEngine:
         first_logits = jnp.concatenate([r[0] for r in rows], axis=0)
         positions = jnp.asarray([r[2] for r in rows], jnp.int32)
         tok = self.tokenizer
-        stop_ids = jnp.asarray([tok.EOS, tok.IM_END], jnp.int32)
+        stop_ids = (jnp.asarray([-1, -1], jnp.int32)
+                    if all(g.ignore_eos for g in gens)
+                    else jnp.asarray([tok.EOS, tok.IM_END], jnp.int32))
         limits = jnp.asarray([g.max_new_tokens for g in gens], jnp.int32)
         sampled = [bool(g.do_sample and g.temperature > 0) for g in gens]
         if any(sampled):
