@@ -32,6 +32,8 @@ from ..data.video_io import (
 from ..models import GroundingConfig, VSTGNet
 from ..training.checkpoint import CheckpointManager
 from ..training.evaluator import (
+    convert_outputs,
+    dispatch_forward,
     linear_interp,
     linear_interp_conf,
     make_eval_forward,
@@ -250,16 +252,11 @@ def _merge_halves(b1, a1, t1, row: int, fps: float) -> Dict[str, Any]:
     return {"temporal": temporal, "tube": tube}
 
 
-def _run_group(loaded, group) -> None:
-    """Run one coalesced forward over videos sharing (yuv, T2).
+def _group_inputs(loaded, group):
+    """Build the V=2N batched forward inputs for videos sharing (yuv, T2).
 
-    ``group``: list of dicts with frames/frame_ids/full_range/fps/ori/
-    query/out (out is filled with the result). The model sees V = 2N rows
-    (each video's even/odd halves) in ONE jitted forward — the measured
-    throughput sweet spot is 2 clip-halves per video x N=2 videos
-    (BASELINE.md: batch 2 -> 4 plateaus at the same clips/s, so pairing
-    videos costs no latency while doubling aggregate serving throughput
-    vs the reference's single-flight lock)."""
+    Returns ``(fwd, params, video, text, infos, gt_act, canvas)`` ready
+    for dispatch_forward/single_forward."""
     cfg, model, params, tokenizer, fwd_u8, fwd_yuv = loaded
     res = cfg.INPUT.RESOLUTION
     n = len(group)
@@ -294,8 +291,17 @@ def _run_group(loaded, group) -> None:
         for half in (0, 1)
     ]
     gt_act = np.ones((2 * n, t_half), np.float32)
+    return fwd, params, video, text, infos, gt_act, (res, res)
+
+
+def _run_group(loaded, group) -> None:
+    """Run one coalesced forward over videos sharing (yuv, T2); fills
+    each job's ``out``. (The V=2N single-dispatch path — see predict_many
+    for when this is chosen over per-video pipelining.)"""
+    fwd, params, video, text, infos, gt_act, canvas = _group_inputs(
+        loaded, group)
     b1, a1, t1, _ = single_forward(fwd, params, video, text, infos, gt_act,
-                                   canvas=(res, res))
+                                   canvas=canvas)
     for i, g in enumerate(group):
         g["out"] = _merge_halves(b1, a1, t1, 2 * i, g["fps"])
 
@@ -329,18 +335,30 @@ def predict_many(
     ``requests``: dicts with ``video_path`` and ``query``. Returns a list
     aligned with ``requests``: each slot is the reference-schema result
     dict or the exception raised preparing that request (a bad video
-    fails its own slot only). Videos sharing a sampled frame count and
-    decode format batch into ONE V=2N forward — net-new vs the
-    reference's single-flight lock (/root/reference/app/server.py:149):
-    at 420px two videos ride one forward at the same latency as one
-    (B=2 vs 4 clip-halves plateaus, BASELINE.md), doubling aggregate
-    throughput under concurrent load."""
+    fails its own slot only). Net-new vs the reference's single-flight
+    lock (/root/reference/app/server.py:149).
+
+    Default policy (**pipelined**): each video's V=2 (even/odd halves)
+    forward is dispatched asynchronously the moment its frames are
+    uploaded, so the device executes video i's forward WHILE the host
+    decodes video i+1; results are fetched after the last dispatch. On
+    decode-bound hosts this makes an N-video batch cost
+    ~N x decode + one forward tail (measured ≤ N sequential solo calls —
+    r3's decode-all-then-forward-all coalescing cost 3.28 s/pair vs
+    2.46 s sequential on the 1-core bench host, tools/bench_serving.py),
+    and on device-bound hosts it matches the coalesced V=2N forward
+    because clip throughput plateaus beyond 2 clip-halves per dispatch
+    (BASELINE.md: batch 2 -> 4 flat). ``VGQA_GROUND_COALESCE=1``
+    restores the single V=2N-dispatch grouping for hosts where fewer,
+    larger dispatches measure better (extreme dispatch-latency links)."""
     loaded = _load_model(cfg_path, ckpt_path)
     cfg = loaded[0]
     res = cfg.INPUT.RESOLUTION
     target_t = max(2, int(cfg.INPUT.TRAIN_SAMPLE_NUM) * 2)
+    coalesce = os.environ.get("VGQA_GROUND_COALESCE", "0") == "1"
 
     jobs = [None] * len(requests)
+    pending = []
     for i, req in enumerate(requests):
         try:
             path = req["video_path"]
@@ -355,19 +373,32 @@ def predict_many(
                 "full_range": full_range, "fps": fps,
                 "ori_size": (h0, w0), "query": req["query"], "out": None,
             }
+            if not coalesce:
+                # dispatch this video's forward NOW (async): the device
+                # works on it while the next request decodes on host
+                fwd, params, video, text, infos, gt_act, canvas = (
+                    _group_inputs(loaded, [jobs[i]]))
+                dev = dispatch_forward(fwd, params, video, text, infos,
+                                       canvas=canvas)
+                pending.append((jobs[i], dev, infos, gt_act))
         except Exception as e:  # noqa: BLE001 - per-slot failure isolation
             jobs[i] = e
 
-    # group by (decode format, frame count): a group shares one jitted
-    # program shape; short videos with unusual T2 simply run solo
-    groups: Dict[Tuple[bool, int], list] = {}
-    for job in jobs:
-        if isinstance(job, Exception):
-            continue
-        groups.setdefault(
-            (job["yuv"], int(job["frames"].shape[0])), []
-        ).append(job)
-    for group in groups.values():
-        _run_group(loaded, group)
+    if coalesce:
+        # group by (decode format, frame count): a group shares one jitted
+        # program shape; short videos with unusual T2 simply run solo
+        groups: Dict[Tuple[bool, int], list] = {}
+        for job in jobs:
+            if isinstance(job, Exception):
+                continue
+            groups.setdefault(
+                (job["yuv"], int(job["frames"].shape[0])), []
+            ).append(job)
+        for group in groups.values():
+            _run_group(loaded, group)
+    else:
+        for job, dev, infos, gt_act in pending:
+            b1, a1, t1, _ = convert_outputs(dev[0], dev[1], infos, gt_act)
+            job["out"] = _merge_halves(b1, a1, t1, 0, job["fps"])
 
     return [j if isinstance(j, Exception) else j["out"] for j in jobs]

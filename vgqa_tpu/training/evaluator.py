@@ -92,14 +92,16 @@ def make_eval_forward(model, pixel_stats=None):
     return fwd
 
 
-def single_forward(
+def dispatch_forward(
     fwd, params, video: VideoBatch, text: TextBatch, infos: List[Dict],
-    gt_actioness: np.ndarray, canvas=None,
+    canvas=None,
 ):
-    """Run one half-clip pass and convert to per-video dicts
-    (host side of evaluator.py:57-92). ``canvas=(h, w)`` overrides the
-    canvas dims when ``video.frames`` is not [V, T, H, W, C] (the serving
-    YUV-upload path ships flat I420 planes, inference/grounding.py)."""
+    """Dispatch one half-clip pass; returns DEVICE arrays (no host sync).
+
+    JAX dispatch is asynchronous, so callers may keep doing host work
+    (e.g. decoding the next video — inference/grounding.predict_many's
+    pipelining) while the device executes; fetch later with
+    :func:`convert_outputs`."""
     import jax.numpy as jnp
 
     ori = jnp.asarray([list(i["ori_size"]) for i in infos], jnp.float32)
@@ -112,7 +114,13 @@ def single_forward(
          for i in infos], np.float32,
     )
     lb = lb / np.array([cw, ch, cw, ch], np.float32)
-    packed_dev, span_dev = fwd(params, video, text, ori, jnp.asarray(lb))
+    return fwd(params, video, text, ori, jnp.asarray(lb))
+
+
+def convert_outputs(packed_dev, span_dev, infos: List[Dict],
+                    gt_actioness: np.ndarray):
+    """Fetch a dispatched pass and convert to per-video dicts
+    (host side of evaluator.py:57-92)."""
     packed = np.asarray(packed_dev)
     span = np.asarray(span_dev)
     boxes = packed[..., :4]
@@ -136,6 +144,17 @@ def single_forward(
         gt_idx = [t for t in range(dur) if gt_actioness[i, t] > 0]
         kf_pred[vid] = list(precision_recall(chosen, gt_idx))
     return bbox_pred, att_pred, temp_pred, kf_pred
+
+
+def single_forward(
+    fwd, params, video: VideoBatch, text: TextBatch, infos: List[Dict],
+    gt_actioness: np.ndarray, canvas=None,
+):
+    """dispatch_forward + convert_outputs in one synchronous call."""
+    packed_dev, span_dev = dispatch_forward(
+        fwd, params, video, text, infos, canvas=canvas
+    )
+    return convert_outputs(packed_dev, span_dev, infos, gt_actioness)
 
 
 def do_eval(cfg, mode, logger, model, params, data_loader, evaluator,
