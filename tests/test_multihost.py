@@ -30,16 +30,14 @@ def _free_port() -> int:
     "sp",
     [
         1,
-        pytest.param(2, marks=pytest.mark.skip(
-            reason="XLA CPU gloo deadlock, not a vgqa bug: with a 2-axis "
-            "(dp, sp) mesh across 2 processes the interleaved 2-member "
-            "communicator inits deadlock deterministically (pair {0,2048} "
-            "times out at GetKeyValue while local sp pairs and the "
-            "4-member group form; reproduces cache-warm, so not compile "
-            "skew). sp semantics are proven on the single-process "
-            "8-device mesh (test_train_step_sharded_dp_sp_tp) and the "
-            "driver's dryrun_multichip; TPU pods use XLA's ICI "
-            "collectives, not gloo.")),
+        # sp=2 deadlocked through r3: XLA-CPU gloo hangs when the dp
+        # axis's two cross-process 2-member communicators init interleaved
+        # (pair {0,2048} times out at GetKeyValue; reproduced cache-warm).
+        # Fixed r4 by warmup_mesh_communicators (parallel/distributed.py):
+        # each cross-process group is pre-formed in its own serialized
+        # tiny psum right after mesh construction, so the train step finds
+        # every gloo context already cached.
+        2,
     ],
     ids=["dp4", "dp2sp2"],
 )

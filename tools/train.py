@@ -70,6 +70,14 @@ class Trainer:
                 "process-local devices: the sp/tp shards of one video live "
                 "on one host; scale across hosts with dp"
             )
+            # serialize gloo communicator formation on CPU multi-process
+            # runtimes (interleaved 2-member group inits deadlock — see
+            # warmup_mesh_communicators)
+            from vgqa_tpu.parallel.distributed import (
+                warmup_mesh_communicators,
+            )
+
+            warmup_mesh_communicators(self.mesh)
 
         self.model, self.loss_fn, self.weight_dict = build_model(c)
 

@@ -88,6 +88,72 @@ def _warm_all_device_communicator() -> None:
     np.asarray(total)  # block until the all-reduce ran
 
 
+def warmup_mesh_communicators(mesh) -> None:
+    """Pre-form every CROSS-PROCESS collective group of ``mesh``, one
+    executable at a time.
+
+    Root cause this works around (diagnosed r3, re-verified r4): XLA-CPU
+    gloo deadlocks when two 2-member cross-process communicators
+    initialize interleaved inside one executable — on a (dp=2, sp=2) mesh
+    over 2 processes the dp axis has two cross-process pairs (e.g.
+    {0, 2048} and {1, 2049}); their concurrent gloo context handshakes
+    block each other at GetKeyValue until the 30 s timeout. Contexts are
+    cached per device SET (see _warm_all_device_communicator), so forming
+    each group in its OWN tiny psum — fetched to completion before the
+    next starts — leaves the real program's collectives with warm
+    contexts and nothing to race.
+
+    Called after mesh construction on multi-process CPU runtimes
+    (tools/train.py); harmless but unnecessary on TPU pods (ICI
+    collectives, no gloo) where it is skipped unless
+    VGQA_WARMUP_COLLECTIVES=1. Process-local groups never deadlock and
+    are skipped."""
+    if jax.process_count() <= 1:
+        return
+    if jax.default_backend() != "cpu" and os.environ.get(
+            "VGQA_WARMUP_COLLECTIVES") != "1":
+        return
+    import itertools
+
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.asarray(mesh.devices)
+    me = jax.process_index()
+    seen = set()
+    groups = []
+    for axis in range(devs.ndim):
+        if devs.shape[axis] <= 1:
+            continue
+        other = [range(s) for i, s in enumerate(devs.shape) if i != axis]
+        for coords in itertools.product(*other):
+            idx = list(coords)
+            idx.insert(axis, slice(None))
+            group = list(devs[tuple(idx)].ravel())
+            pids = {d.process_index for d in group}
+            if len(pids) <= 1:
+                continue                      # process-local: no race
+            key = tuple(sorted(d.id for d in group))
+            if key in seen:
+                continue
+            seen.add(key)
+            groups.append((group, pids))
+
+    # deterministic global order: every member process visits shared
+    # groups in the same relative order, so no cross-group wait inversion
+    for group, pids in groups:
+        if me not in pids:
+            continue
+        sub = Mesh(np.asarray(group), ("g",))
+        sh = NamedSharding(sub, P("g"))
+        n_local = sum(1 for d in group if d.process_index == me)
+        garr = jax.make_array_from_process_local_data(
+            sh, np.ones(n_local, np.float32))
+        total = jax.jit(lambda x: x.sum(),
+                        out_shardings=NamedSharding(sub, P()))(garr)
+        np.asarray(total)   # complete THIS group before forming the next
+
+
 def put_global_batch(tree: Any, sharding) -> Any:
     """Assemble a globally-sharded batch from each process's local slice.
 
