@@ -27,7 +27,10 @@ def run(engine, tiles, n_frames, max_new, label):
 
     from vgqa_tpu.qa import GenerationConfig
 
-    gen = GenerationConfig(max_new_tokens=max_new, do_sample=False)
+    # ignore_eos: the while_loop decode exits at EOS (right for serving);
+    # benchmarks pin the decode length for comparable tok/s
+    gen = GenerationConfig(max_new_tokens=max_new, do_sample=False,
+                           ignore_eos=True)
     patches = [1] * n_frames
     t0 = time.time()
     engine.chat(np.asarray(tiles), "what happens in the video?", gen,
@@ -81,6 +84,9 @@ def main():
     ap.add_argument("--max-seq", type=int, default=8192)
     ap.add_argument("--batch", type=int, default=1,
                     help="also bench chat_batch with B concurrent requests")
+    ap.add_argument("--batch-sweep", default="",
+                    help="comma list of batch sizes (e.g. 1,2,4,8); "
+                         "implies --batch > 1 behavior per size")
     ap.add_argument("--ab-w8a8", action="store_true",
                     help="after the int8 run, A/B the W8A8 prefill "
                          "(dynamic int8 activations) in-process")
@@ -155,7 +161,8 @@ def main():
         # single-shot, same engine/params
         from vgqa_tpu.qa import GenerationConfig
 
-        gen = GenerationConfig(max_new_tokens=8, do_sample=False)
+        gen = GenerationConfig(max_new_tokens=8, do_sample=False,
+                               ignore_eos=True)
         patches = [1] * args.frames
         for ck in (0, args.ab_vision_chunks):
             engine._vision_chunk = ck
@@ -185,7 +192,8 @@ def main():
         # wrappers to force a retrace (same params, one chip session)
         from vgqa_tpu.qa import GenerationConfig
 
-        gen = GenerationConfig(max_new_tokens=8, do_sample=False)
+        gen = GenerationConfig(max_new_tokens=8, do_sample=False,
+                               ignore_eos=True)
         patches = [1] * args.frames
         flag0 = engine._w8a8_prefill
         wrap0 = (engine._prefill, engine._prefill_chunked)
@@ -213,30 +221,41 @@ def main():
         engine._w8a8_prefill = flag0
         engine._prefill, engine._prefill_chunked = wrap0
 
-    if args.batch > 1:
+    if args.batch > 1 or args.batch_sweep:
         # concurrent serving: B requests through chat_batch (per-row KV
-        # rows, lockstep decode) vs B sequential chats
+        # rows, lockstep decode) vs B sequential chats. --batch accepts a
+        # single B or the max of a {1,2,4,8}-style sweep via --batch-sweep.
         from vgqa_tpu.qa import GenerationConfig
 
-        gen = GenerationConfig(max_new_tokens=args.max_new, do_sample=False)
-        reqs = [
-            (tiles, f"what happens in the video {i}?", [1] * args.frames)
-            for i in range(args.batch)
-        ]
-        engine.chat_batch(reqs, gen)  # compile
-        t0 = time.time()
-        engine.chat_batch(reqs, gen)
-        bt = time.time() - t0
-        t0 = time.time()
-        for r in reqs:
-            engine.chat(r[0], r[1], gen, num_patches_list=r[2])
-        st = time.time() - t0
-        agg = args.batch * args.max_new / bt
-        print(
-            f"batch={args.batch}: {bt:.2f}s batched vs {st:.2f}s sequential "
-            f"({st / bt:.2f}x) | aggregate {agg:.1f} tok/s e2e",
-            flush=True,
-        )
+        gen = GenerationConfig(max_new_tokens=args.max_new,
+                               do_sample=False, ignore_eos=True)
+        sizes = ([int(b) for b in args.batch_sweep.split(",")]
+                 if args.batch_sweep else [args.batch])
+        seq_1 = None
+        for B in sizes:
+            if B < 1:
+                continue
+            reqs = [
+                (tiles, f"what happens in the video {i}?", [1] * args.frames)
+                for i in range(B)
+            ]
+            engine.chat_batch(reqs, gen)  # compile
+            t0 = time.time()
+            engine.chat_batch(reqs, gen)
+            bt = time.time() - t0
+            if seq_1 is None:
+                t0 = time.time()
+                engine.chat(reqs[0][0], reqs[0][1], gen,
+                            num_patches_list=reqs[0][2])
+                seq_1 = time.time() - t0
+            st = B * seq_1
+            agg = B * args.max_new / bt
+            print(
+                f"batch={B}: {bt:.2f}s batched vs ~{st:.2f}s sequential "
+                f"({st / bt:.2f}x) | aggregate {agg:.1f} tok/s e2e | "
+                f"per-request latency {bt:.2f}s",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

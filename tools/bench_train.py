@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="mixed precision: bf16 fwd/bwd, f32 master params")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--profile", default="",
+                    help="trace 2 steps into this dir and print the top "
+                         "device ops (utils.profiling.summarize_trace)")
     args = ap.parse_args()
 
     cfg = build_default_cfg()
@@ -104,6 +107,16 @@ def main():
         f"train step: {dt * 1000:.0f} ms  ({1 / dt:.2f} clips/s/chip, "
         f"loss {final:.3f})"
     )
+
+    if args.profile:
+        from vgqa_tpu.utils.profiling import summarize_trace
+
+        jax.profiler.start_trace(args.profile)
+        for _ in range(2):
+            state, metrics = step_fn(state, video, text, targets, key)
+        float(metrics["loss"])
+        jax.profiler.stop_trace()
+        summarize_trace(args.profile)
 
 
 if __name__ == "__main__":

@@ -133,15 +133,16 @@ class QAEngine:
 
         self._vision_fn = jax.jit(_vision_apply)
         # VGQA_VISION_CHUNKS>0: split the tile batch into fixed-size
-        # chunks, enqueue every chunk's upload first, then dispatch the
-        # ViT per chunk — chunk k's compute overlaps chunk k+1's host-side
-        # upload serialization. Measured on-chip at the 32-frame protocol
-        # (2026-08-18, tools/bench_qa.py --ab-vision-chunks 8): 1.002 s
-        # chunked == 1.002 s single-shot on this 1-core tunnel host, and
-        # the chunk shape costs one extra ViT compile at startup — so OFF
-        # by default; the knob exists for serving hosts whose upload/
-        # compute balance differs.
-        self._vision_chunk = int(_os.environ.get("VGQA_VISION_CHUNKS", "0"))
+        # chunks, interleaving put and dispatch (put c0, dispatch c0,
+        # put c1, ...) so chunk k+1's host-side upload serialization runs
+        # under chunk k's ViT compute. Measured on-chip at the 32-frame
+        # protocol (2026-08-19, tools/bench_qa.py --ab-vision-chunks 8):
+        # 0.733 s chunked vs 0.797 s single-shot. (r3's zero-gain result
+        # enqueued every upload before the first dispatch — on this
+        # submission-ordered link that admits no overlap.) Chunk shapes
+        # cost one extra ViT compile at startup. Default ON at 8;
+        # VGQA_VISION_CHUNKS=0 restores single-shot.
+        self._vision_chunk = int(_os.environ.get("VGQA_VISION_CHUNKS", "8"))
 
         # causal GQA flash prefill: native on TPU; interpret mode for CPU
         # parity testing (VGQA_PALLAS_INTERPRET=1); plain XLA otherwise
@@ -564,6 +565,11 @@ class QAEngine:
         uint8 batches larger than ``_vision_chunk`` are uploaded
         chunk-wise with the ViT dispatched per chunk, pipelining device
         compute under the host-side upload serialization (see __init__).
+        The put and dispatch INTERLEAVE (put c0, dispatch c0, put c1, ...):
+        r3 enqueued every upload before the first dispatch, which measured
+        zero gain — this link executes in submission order, so all
+        serialization finished before any compute started; interleaved,
+        chunk k+1's host serialization runs under chunk k's ViT compute.
         A batch that does not divide evenly chunks the divisible prefix
         and runs the remainder as a final (smaller) part — one extra
         compiled shape, but the knob never silently no-ops (advisor r3)."""
@@ -573,8 +579,10 @@ class QAEngine:
             dev = (jnp.asarray(tiles) if tiles.dtype == np.uint8
                    else jnp.asarray(tiles, self.dtype))
             return self._vision_fn(self.params, dev)
-        parts = [jnp.asarray(tiles[i:i + ck]) for i in range(0, n, ck)]
-        outs = [self._vision_fn(self.params, p) for p in parts]
+        outs = []
+        for i in range(0, n, ck):
+            part = jnp.asarray(tiles[i:i + ck])
+            outs.append(self._vision_fn(self.params, part))
         return jnp.concatenate(outs, axis=0)
 
     # -- public chat API ----------------------------------------------------
