@@ -177,6 +177,17 @@ class QAEngine:
         self._greedy_batch = jax.jit(
             self._greedy_batch_impl, static_argnums=(5,), donate_argnums=(1,)
         )
+        # move one prefilled [1, ...] cache into row `i` of the [B, ...]
+        # batch cache in place (both donated): chat_batch's peak KV memory
+        # stays batch + one row instead of 2x batch at the concat
+        self._insert_cache_row = jax.jit(
+            lambda batch, row, i: jax.tree.map(
+                lambda b, r: jax.lax.dynamic_update_slice_in_dim(
+                    b, r.astype(b.dtype), i, axis=0),
+                batch, row,
+            ),
+            donate_argnums=(0, 1),
+        )
         self._sample_batch = jax.jit(
             self._sample_batch_impl, static_argnums=(5,), donate_argnums=(1,)
         )
@@ -769,8 +780,17 @@ class QAEngine:
         max_new = max(g.max_new_tokens for g in gens)
         max_total = min(self.max_seq_len, Lp + max_new)
 
-        rows = []
-        for vision_tokens, ids, img_positions, length in prepped:
+        # the [B, ...] decode cache is allocated ONCE and each row's prefill
+        # cache is moved into it with a donated dynamic_update_slice — a
+        # concatenate here would transiently hold 2x the batch cache (at the
+        # 32-frame protocol a cache row is ~1.2 GB, so B=4 concat + the four
+        # row caches + the 7.7 GB int8 weights would exceed one v5e's HBM)
+        batch_cache = init_kv_cache(
+            self.llm_cfg, len(prepped), max_total, self.dtype
+        )
+        first_rows, lengths = [], []
+        for i, (vision_tokens, ids, img_positions, length) in enumerate(
+                prepped):
             ids_arr = np.zeros((1, Lp), np.int32)
             ids_arr[0, :length] = ids
             embeds = embed_tokens(
@@ -784,13 +804,14 @@ class QAEngine:
             fn = self._prefill_chunked if chunked else self._prefill
             logits, cache = fn(self.params, embeds, jnp.asarray(length),
                                cache)
-            rows.append((logits, cache, length))
+            batch_cache = self._insert_cache_row(
+                batch_cache, cache, jnp.asarray(i, jnp.int32)
+            )
+            first_rows.append(logits)
+            lengths.append(length)
 
-        batch_cache = jax.tree.map(
-            lambda *xs: jnp.concatenate(xs, axis=0), *[r[1] for r in rows]
-        )
-        first_logits = jnp.concatenate([r[0] for r in rows], axis=0)
-        positions = jnp.asarray([r[2] for r in rows], jnp.int32)
+        first_logits = jnp.concatenate(first_rows, axis=0)
+        positions = jnp.asarray(lengths, jnp.int32)
         tok = self.tokenizer
         stop_ids = (jnp.asarray([-1, -1], jnp.int32)
                     if all(g.ignore_eos for g in gens)
