@@ -28,8 +28,15 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, blk_k, lk):
-    """One (batch, q-tile): stream over k tiles with online softmax."""
-    q = q_ref[0].astype(jnp.float32) * scale          # [blk_q, D]
+    """One (batch, q-tile): stream over k tiles with online softmax.
+
+    Matmul inputs stay in the input dtype (bf16 on TPU) with f32
+    accumulation — an f32 MXU matmul runs at a fraction of the bf16 rate,
+    and the XLA einsum path this kernel replaces also contracts bf16
+    operands (including bf16 post-softmax probabilities,
+    ops/attention.py:82-86), so bf16 dots match its numerics, not just
+    its speed. Softmax statistics remain f32."""
+    q = q_ref[0]                                       # [blk_q, D]
     blk_q = q.shape[0]
     d = q.shape[1]
 
@@ -37,14 +44,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, blk_k, lk):
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(i * blk_k, blk_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * blk_k, blk_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * blk_k, blk_k), :]
+        v = v_ref[0, pl.ds(i * blk_k, blk_k), :]
         mask = mask_ref[0, 0, pl.ds(i * blk_k, blk_k)]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                              # [blk_q, blk_k]
+        ) * scale                                      # [blk_q, blk_k] f32
         s = jnp.where(mask[None, :], s, NEG_INF)
 
         m_cur = jnp.max(s, axis=-1)                    # [blk_q]
@@ -53,7 +60,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, blk_k, lk):
         p = jnp.exp(s - m_new[:, None])                # [blk_q, blk_k]
         l_new = l_prev * alpha + jnp.sum(p, axis=-1)
         acc = acc * alpha[:, None] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return acc, m_new, l_new
@@ -178,7 +185,7 @@ def _flash_gqa_causal_kernel(q_ref, k_ref, v_ref, len_ref, o_ref, *,
     (future keys are never touched — per-chunk cost grows causally instead
     of with the full cache length)."""
     qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32) * scale            # [blk_q, dh]
+    q = q_ref[0]                                        # [blk_q, dh]
     d = q.shape[1]
     length = len_ref[0, 0]
 
@@ -187,13 +194,15 @@ def _flash_gqa_causal_kernel(q_ref, k_ref, v_ref, len_ref, o_ref, *,
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(i * blk_k, blk_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * blk_k, blk_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * blk_k, blk_k), :]
+        v = v_ref[0, pl.ds(i * blk_k, blk_k), :]
 
+        # bf16 operands + f32 accumulation (see _flash_kernel): f32 MXU
+        # matmuls run at a fraction of the bf16 rate
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                               # [blk_q, blk_k]
+        ) * scale                                       # [blk_q, blk_k]
         q_pos = (
             jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 0)
             + q_offset + qi * blk_q
@@ -211,7 +220,7 @@ def _flash_gqa_causal_kernel(q_ref, k_ref, v_ref, len_ref, o_ref, *,
         p = jnp.exp(s - m_new[:, None])
         l_new = l_prev * alpha + jnp.sum(p, axis=-1)
         acc = acc * alpha[:, None] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return acc, m_new, l_new
