@@ -93,6 +93,10 @@ def main():
     ap.add_argument("--ab-vision-chunks", type=int, default=0,
                     help="A/B the vision phase only: single-shot vs this "
                          "chunk size, one process (comparable timings)")
+    ap.add_argument("--ab-vit-flash", action="store_true",
+                    help="A/B the ViT attention op in the vision phase: "
+                         "XLA einsum vs the Pallas flash kernel, one "
+                         "process (engine.set_vit_flash)")
     ap.add_argument("--quant-only", action="store_true",
                     help="skip the bf16 pass (8B-class bf16 exceeds one "
                          "v5e's 16 GB HBM; int8 fits)")
@@ -154,6 +158,29 @@ def main():
     tiles = np.random.RandomState(0).randint(
         0, 256, (args.frames, 448, 448, 3), dtype=np.uint8
     )
+
+    if args.ab_vit_flash:
+        # in-process A/B of the ViT attention op (identical params; the
+        # flash flag only swaps the attention implementation). Chunked
+        # upload stays at the configured default for both arms.
+        from vgqa_tpu.qa import GenerationConfig
+
+        gen = GenerationConfig(max_new_tokens=8, do_sample=False,
+                               ignore_eos=True)
+        patches = [1] * args.frames
+        for flash in (False, True):
+            engine.set_vit_flash(flash)
+            engine.chat(tiles, "warm", gen, num_patches_list=patches)
+            vs = 0.0
+            for i in range(4):
+                _, st = engine.chat(
+                    tiles, f"q{i}?", gen, num_patches_list=patches,
+                    return_stats=True,
+                )
+                vs += st["vision_s"] / 4
+            print(f"vision vit_flash={flash}: {vs:.3f} s "
+                  f"({args.frames} tiles)", flush=True)
+        return
 
     if args.ab_vision_chunks:
         # in-process A/B of the chunked vision-upload pipeline (one chip
@@ -239,10 +266,16 @@ def main():
                 (tiles, f"what happens in the video {i}?", [1] * args.frames)
                 for i in range(B)
             ]
-            engine.chat_batch(reqs, gen)  # compile
-            t0 = time.time()
-            engine.chat_batch(reqs, gen)
-            bt = time.time() - t0
+            try:
+                engine.chat_batch(reqs, gen)  # compile
+                t0 = time.time()
+                engine.chat_batch(reqs, gen)
+                bt = time.time() - t0
+            except Exception as e:  # document the HBM ceiling, keep going
+                msg = str(e).splitlines()[0][:160]
+                print(f"batch={B}: FAILED ({type(e).__name__}: {msg})",
+                      flush=True)
+                continue
             if seq_1 is None:
                 t0 = time.time()
                 engine.chat(reqs[0][0], reqs[0][1], gen,

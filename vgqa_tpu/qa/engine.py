@@ -111,27 +111,13 @@ class QAEngine:
             _os.environ.get("VGQA_PALLAS_INTERPRET") == "1"
         ):
             vit_cfg = _dc.replace(vit_cfg, flash=True)
+            self.vit_cfg = vit_cfg
         self.vision = VisionTower(vit_cfg)
 
         g = vit_cfg.grid
         self.num_image_token = int((g * vit_cfg.downsample_ratio) ** 2)
 
-        def _vision_apply(p, tiles):
-            # uint8 tiles are normalized ON DEVICE (x/255 - mean)/std folded
-            # to one multiply-add, so the host->device upload is 1 byte per
-            # channel (4x less than the reference's float pixel_values;
-            # uploads are host-serialization-bound on remote links)
-            if tiles.dtype == jnp.uint8:
-                from .preprocess import IMAGENET_MEAN, IMAGENET_STD
-
-                scale = jnp.asarray(
-                    1.0 / (255.0 * IMAGENET_STD), self.dtype)
-                bias = jnp.asarray(
-                    -IMAGENET_MEAN / IMAGENET_STD, self.dtype)
-                tiles = tiles.astype(self.dtype) * scale + bias
-            return self.vision.apply({"params": p["vision"]}, tiles)
-
-        self._vision_fn = jax.jit(_vision_apply)
+        self._vision_fn = jax.jit(self._vision_apply)
         # VGQA_VISION_CHUNKS>0: split the tile batch into fixed-size
         # chunks, interleaving put and dispatch (put c0, dispatch c0,
         # put c1, ...) so chunk k+1's host-side upload serialization runs
@@ -569,6 +555,31 @@ class QAEngine:
         ids += enc(question) + [tok.IM_END] + enc("\n")
         ids += [tok.IM_START] + enc("assistant\n")
         return ids, img_positions
+
+    def _vision_apply(self, p, tiles):
+        # uint8 tiles are normalized ON DEVICE (x/255 - mean)/std folded
+        # to one multiply-add, so the host->device upload is 1 byte per
+        # channel (4x less than the reference's float pixel_values;
+        # uploads are host-serialization-bound on remote links)
+        if tiles.dtype == jnp.uint8:
+            from .preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+            scale = jnp.asarray(1.0 / (255.0 * IMAGENET_STD), self.dtype)
+            bias = jnp.asarray(-IMAGENET_MEAN / IMAGENET_STD, self.dtype)
+            tiles = tiles.astype(self.dtype) * scale + bias
+        return self.vision.apply({"params": p["vision"]}, tiles)
+
+    def set_vit_flash(self, flash: bool) -> None:
+        """Swap the ViT attention op (XLA einsum <-> Pallas flash kernel)
+        in place and re-jit the vision fn. Parameters are untouched — the
+        flag only changes the attention implementation — so A/B benchmarks
+        can flip it inside one chip session (tools/bench_qa.py
+        --ab-vit-flash)."""
+        import dataclasses as _dc
+
+        self.vit_cfg = _dc.replace(self.vit_cfg, flash=flash)
+        self.vision = VisionTower(self.vit_cfg)
+        self._vision_fn = jax.jit(self._vision_apply)
 
     def _encode_vision(self, tiles) -> jnp.ndarray:
         """Upload host tiles and run the vision tower -> [n_tiles, tok, D].
