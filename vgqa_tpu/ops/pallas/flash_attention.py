@@ -149,10 +149,16 @@ def flash_mha(
     num_heads: int,
     key_mask: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
+    blk_q: int = 128,
+    blk_k: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in for ops.attention.dot_product_attention (no probs/dropout):
-    q [..., Lq, H*Dh], k/v [..., Lk, H*Dh], key_mask [..., Lk]."""
+    q [..., Lq, H*Dh], k/v [..., Lk, H*Dh], key_mask [..., Lk].
+
+    ``blk_q``/``blk_k`` tile the (padded) sequence: pick blocks that divide
+    round_up(L, 128) exactly to avoid padded-tile work (e.g. 384 for the
+    ViT's L=1025 -> 1152)."""
     *lead, Lq, dim = q.shape
     Lk = k.shape[-2]
     dh = dim // num_heads
@@ -171,7 +177,8 @@ def flash_mha(
         maskf = jnp.repeat(key_mask.reshape(B, Lk), num_heads, axis=0)
     else:
         maskf = None
-    out = flash_attention(qf, kf, vf, maskf, scale=scale, interpret=interpret)
+    out = flash_attention(qf, kf, vf, maskf, scale=scale,
+                          blk_q=blk_q, blk_k=blk_k, interpret=interpret)
     out = out.reshape(B, num_heads, Lq, dh).transpose(0, 2, 1, 3)
     return out.reshape(*lead, Lq, dim)
 

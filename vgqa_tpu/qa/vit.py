@@ -65,8 +65,13 @@ class ViTBlock(nn.Module):
 
             from ..ops.pallas.flash_attention import flash_mha
 
+            # 384 divides round_up(1025, 128) = 1152 exactly: 3x3 tiles per
+            # (tile, head) instead of 9x9 at the default 128 blocks — fewer
+            # grid programs, bigger MXU matmuls, no padded-tile work
+            L = q.shape[-2]
+            blk = 384 if (L + 127) // 128 * 128 % 384 == 0 else 128
             attn = flash_mha(
-                q, k, v, c.num_heads,
+                q, k, v, c.num_heads, blk_q=blk, blk_k=blk,
                 interpret=os.environ.get("VGQA_PALLAS_INTERPRET") == "1",
             )
         else:
