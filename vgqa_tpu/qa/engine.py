@@ -101,15 +101,27 @@ class QAEngine:
 
         self.llm = LLM(llm_cfg)
         self.embed = TokenEmbedding(llm_cfg)
-        # ViT attention stays on XLA's einsum path: measured on-chip, the
-        # flash kernel LOSES 2.8x at the ViT's shape (L=1025, head_dim=64 —
-        # lane padding to 128 wastes half the MXU; XLA runs 57 TF/s vs
-        # flash's 20, 2026-08-18). VGQA_VIT_FLASH=1 re-enables it for
-        # experiments; interpret mode keeps exercising the kernel in CPU
-        # parity tests. The flag changes no parameters, only the attention op.
-        if _os.environ.get("VGQA_VIT_FLASH") == "1" or (
-            _os.environ.get("VGQA_PALLAS_INTERPRET") == "1"
-        ):
+        # ViT attention runs the Pallas flash kernel on TPU (default since
+        # r4): with bf16 MXU operands + 384-blocks it beats XLA's einsum
+        # at the ViT shape (vision phase 0.643 s flash vs 0.690 s XLA at
+        # 32 tiles, bench_qa --ab-vit-flash 2026-08-19). The r3 "flash
+        # loses 2.8x at L=1025/hd=64" result was the old kernel forcing
+        # f32 matmuls. VGQA_VIT_FLASH=0 restores XLA einsum; interpret
+        # mode exercises the kernel in CPU parity tests. The flag changes
+        # no parameters, only the attention op.
+        import jax as _jax
+
+        vit_flash = _os.environ.get("VGQA_VIT_FLASH")
+        if vit_flash is None:
+            use_vit_flash = (
+                _jax.default_backend() == "tpu"
+                or _os.environ.get("VGQA_PALLAS_INTERPRET") == "1"
+            )
+        else:
+            use_vit_flash = vit_flash != "0" or (
+                _os.environ.get("VGQA_PALLAS_INTERPRET") == "1"
+            )
+        if use_vit_flash:
             vit_cfg = _dc.replace(vit_cfg, flash=True)
             self.vit_cfg = vit_cfg
         self.vision = VisionTower(vit_cfg)
