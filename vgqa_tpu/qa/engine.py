@@ -176,15 +176,17 @@ class QAEngine:
             self._greedy_batch_impl, static_argnums=(5,), donate_argnums=(1,)
         )
         # move one prefilled [1, ...] cache into row `i` of the [B, ...]
-        # batch cache in place (both donated): chat_batch's peak KV memory
-        # stays batch + one row instead of 2x batch at the concat
+        # batch cache in place (batch donated; the row can't alias a
+        # [B, ...] output, so donating it would only warn): chat_batch's
+        # peak KV memory stays batch + one row instead of 2x batch at the
+        # concat
         self._insert_cache_row = jax.jit(
             lambda batch, row, i: jax.tree.map(
                 lambda b, r: jax.lax.dynamic_update_slice_in_dim(
                     b, r.astype(b.dtype), i, axis=0),
                 batch, row,
             ),
-            donate_argnums=(0, 1),
+            donate_argnums=(0,),
         )
         self._sample_batch = jax.jit(
             self._sample_batch_impl, static_argnums=(5,), donate_argnums=(1,)
