@@ -210,6 +210,32 @@ def test_ema_update_math():
     np.testing.assert_allclose(np.asarray(out["w"]), 0.1, atol=1e-6)
 
 
+def test_flat_clip_matches_optax():
+    """clip_by_global_norm_flat (one concatenated reduction — the optax
+    per-leaf version emits ~444 scalar fusions costing ~33 ms/step at
+    64f@420) must reproduce optax.clip_by_global_norm exactly, both when
+    the norm exceeds the bound and when it does not."""
+    import optax
+
+    from vgqa_tpu.training.optimizer import clip_by_global_norm_flat
+
+    rng = np.random.RandomState(0)
+    for mag in (1e-4, 1.0, 100.0):  # norm below / near / above max_norm
+        tree = {
+            "a": jnp.asarray(rng.randn(3, 4) * mag, jnp.float32),
+            "b": {"c": jnp.asarray(rng.randn(7) * mag, jnp.float32),
+                  "d": jnp.asarray(rng.randn(2, 2, 2) * mag, jnp.float32)},
+        }
+        ref = optax.clip_by_global_norm(0.1)
+        new = clip_by_global_norm_flat(0.1)
+        r, _ = ref.update(tree, ref.init(tree))
+        n, _ = new.update(tree, new.init(tree))
+        for a, b in zip(jax.tree.leaves(r), jax.tree.leaves(n)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6
+            )
+
+
 def test_remat_train_step_matches_no_remat():
     """Per-block remat must change memory, not math: one train step with
     TPU.REMAT on/off yields identical losses and parameters."""

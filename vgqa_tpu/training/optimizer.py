@@ -104,6 +104,39 @@ def make_schedule(cfg, max_iter: int, group: str) -> Callable:
     return schedule
 
 
+def clip_by_global_norm_flat(max_norm: float) -> optax.GradientTransformation:
+    """``optax.clip_by_global_norm`` with the norm computed over ONE
+    concatenated vector.
+
+    ``optax.global_norm`` emits a scalar sum-of-squares reduction per leaf
+    — profiled at 64f@420 that is ~444 scalar-output fusions costing
+    ~33 ms/step on TPU (each tiny-grid reduction underutilizes the chip).
+    Concatenating the raveled f32 grads first costs one ~0.7 GB copy
+    (~2 ms) and a single well-tiled reduction. Semantics match optax:
+    updates are untouched when the norm is under ``max_norm``, otherwise
+    scaled by ``max_norm / norm`` (scale = max_norm / max(norm, max_norm)
+    — a zero norm yields scale 1, avoiding the 0/0)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        leaves = jax.tree.leaves(updates)
+        flat = jnp.concatenate(
+            [jnp.ravel(u).astype(jnp.float32) for u in leaves]
+        )
+        g_norm = jnp.sqrt(jnp.sum(flat * flat))
+        scale = max_norm / jnp.maximum(g_norm, max_norm)
+        updates = jax.tree.map(
+            lambda u: u * scale.astype(u.dtype), updates
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(
     cfg, params, max_iter: int
 ) -> Tuple[optax.GradientTransformation, Any]:
@@ -142,7 +175,7 @@ def make_optimizer(
         # Swin tower's gradients — worth ~100+ ms/step at 64f@420).
         trainable = jax.tree.map(lambda g: g != "frozen", labels)
         tx = optax.chain(
-            optax.masked(optax.clip_by_global_norm(s.MAX_GRAD_NORM),
+            optax.masked(clip_by_global_norm_flat(s.MAX_GRAD_NORM),
                          trainable),
             tx,
         )
