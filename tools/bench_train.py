@@ -40,6 +40,15 @@ def main():
     ap.add_argument("--profile", default="",
                     help="trace 2 steps into this dir and print the top "
                          "device ops (utils.profiling.summarize_trace)")
+    ap.add_argument("--ab-flat-clip", action="store_true",
+                    help="time the step with the per-leaf optax grad clip "
+                         "AND clip_by_global_norm_flat in one process "
+                         "(two compiles, comparable timings)")
+    ap.add_argument("--ab-rbg", action="store_true",
+                    help="time the step with threefry AND rbg dropout "
+                         "keys in one process (two compiles; rbg trades "
+                         "the counter-based PRNG's cost for the TPU's "
+                         "hardware RNG path)")
     args = ap.parse_args()
 
     cfg = build_default_cfg()
@@ -76,37 +85,58 @@ def main():
         "verb_labels": jnp.zeros((1, cfg.DATASET.MOT_NUM)),
     }
 
-    params = jax.jit(lambda r: model.init(r, video, text, train=False))(
-        jax.random.PRNGKey(0)
-    )
-    tx, _ = make_optimizer(cfg, params, max_iter=1000)
-    state = create_train_state(params, tx, use_ema=True)
+    init_fn = jax.jit(lambda r: model.init(r, video, text, train=False))
     loss_fn = VideoSTGLoss(sigma=cfg.SOLVER.SIGMA, eos_coef=cfg.SOLVER.EOS_COEF)
-    step_fn = jax.jit(
-        make_train_step(model, loss_fn, build_weight_dict(cfg), tx,
-                        cfg.MODEL.EMA_DECAY, remat=cfg.TPU.REMAT,
-                        compute_dtype=(jnp.bfloat16
-                                       if cfg.TPU.TRAIN_DTYPE == "bfloat16"
-                                       else None)),
-        donate_argnums=(0,),
-    )
 
-    key = jax.random.PRNGKey(0)
-    t0 = time.time()
-    state, metrics = step_fn(state, video, text, targets, key)
-    loss0 = float(metrics["loss"])  # host fetch = real completion
-    print(f"compile+first step: {time.time() - t0:.0f}s (loss {loss0:.3f})")
-
-    n = args.iters
-    t0 = time.time()
-    for _ in range(n):
+    def build_and_time(label, rng_impl="threefry"):
+        # fresh params per arm: the step donates the TrainState, whose
+        # buffers alias these params — a second arm tracing against the
+        # first arm's donated buffers dies with InvalidArgument. The jit
+        # cache makes the re-init an execute, not a recompile.
+        params = init_fn(jax.random.PRNGKey(0))
+        tx, _ = make_optimizer(cfg, params, max_iter=1000)
+        state = create_train_state(params, tx, use_ema=True)
+        step_fn = jax.jit(
+            make_train_step(model, loss_fn, build_weight_dict(cfg), tx,
+                            cfg.MODEL.EMA_DECAY, remat=cfg.TPU.REMAT,
+                            compute_dtype=(jnp.bfloat16
+                                           if cfg.TPU.TRAIN_DTYPE == "bfloat16"
+                                           else None)),
+            donate_argnums=(0,),
+        )
+        key = jax.random.key(0, impl=rng_impl)
+        t0 = time.time()
         state, metrics = step_fn(state, video, text, targets, key)
-    final = float(metrics["loss"])
-    dt = (time.time() - t0) / n
-    print(
-        f"train step: {dt * 1000:.0f} ms  ({1 / dt:.2f} clips/s/chip, "
-        f"loss {final:.3f})"
-    )
+        loss0 = float(metrics["loss"])  # host fetch = real completion
+        print(f"{label}compile+first step: {time.time() - t0:.0f}s "
+              f"(loss {loss0:.3f})", flush=True)
+
+        n = args.iters
+        t0 = time.time()
+        for _ in range(n):
+            state, metrics = step_fn(state, video, text, targets, key)
+        final = float(metrics["loss"])
+        dt = (time.time() - t0) / n
+        print(
+            f"{label}train step: {dt * 1000:.0f} ms  "
+            f"({1 / dt:.2f} clips/s/chip, loss {final:.3f})", flush=True
+        )
+        return state, step_fn, key
+
+    if args.ab_flat_clip:
+        import os
+
+        for flat in ("0", "1"):
+            os.environ["VGQA_FLAT_CLIP"] = flat
+            build_and_time(f"[flat_clip={flat}] ")
+        return
+
+    if args.ab_rbg:
+        for impl in ("threefry", "rbg"):
+            build_and_time(f"[rng={impl}] ", rng_impl=impl)
+        return
+
+    state, step_fn, key = build_and_time("")
 
     if args.profile:
         from vgqa_tpu.utils.profiling import summarize_trace

@@ -174,11 +174,17 @@ def make_optimizer(
         # full-tree norm was the only consumer of e.g. the frozen Video
         # Swin tower's gradients — worth ~100+ ms/step at 64f@420).
         trainable = jax.tree.map(lambda g: g != "frozen", labels)
-        tx = optax.chain(
-            optax.masked(clip_by_global_norm_flat(s.MAX_GRAD_NORM),
-                         trainable),
-            tx,
-        )
+        # VGQA_FLAT_CLIP=1 swaps in clip_by_global_norm_flat (single
+        # concatenated reduction). MEASURED SLOWER at 64f@420 bf16:
+        # 343 ms/step vs 272-274 for the per-leaf optax clip (2026-08-19,
+        # time-bracketed runs) — the 444-leaf concatenate costs more than
+        # the 444 scalar reductions it replaces. Kept for A/B only.
+        import os as _os
+
+        clip = (clip_by_global_norm_flat(s.MAX_GRAD_NORM)
+                if _os.environ.get("VGQA_FLAT_CLIP") == "1"
+                else optax.clip_by_global_norm(s.MAX_GRAD_NORM))
+        tx = optax.chain(optax.masked(clip, trainable), tx)
     return tx, labels
 
 
