@@ -88,7 +88,8 @@ def main():
     init_fn = jax.jit(lambda r: model.init(r, video, text, train=False))
     loss_fn = VideoSTGLoss(sigma=cfg.SOLVER.SIGMA, eos_coef=cfg.SOLVER.EOS_COEF)
 
-    def build_and_time(label, rng_impl="threefry"):
+    def build_and_time(label, rng_impl=None):
+        rng_impl = rng_impl or cfg.TPU.TRAIN_PRNG
         # fresh params per arm: the step donates the TrainState, whose
         # buffers alias these params — a second arm tracing against the
         # first arm's donated buffers dies with InvalidArgument. The jit
@@ -132,7 +133,7 @@ def main():
         return
 
     if args.ab_rbg:
-        for impl in ("threefry", "rbg"):
+        for impl in ("threefry2x32", "rbg"):
             build_and_time(f"[rng={impl}] ", rng_impl=impl)
         return
 

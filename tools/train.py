@@ -165,7 +165,7 @@ class Trainer:
         from vgqa_tpu.utils.tensorboard import SummaryWriter
 
         writer = SummaryWriter(c.TENSORBOARD_DIR)
-        rng = jax.random.PRNGKey(self.seed)
+        rng = jax.random.key(self.seed, impl=c.TPU.TRAIN_PRNG)
         start_iter = int(self.state.step)
         loader = make_data_loader(c, "train", start_iter=start_iter,
                                   global_batch=self.mesh.shape["dp"])

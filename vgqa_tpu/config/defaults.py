@@ -189,6 +189,15 @@ def _tpu_cfg() -> Cfg:
     t.UINT8_FEED = True             # loader emits uint8 canvases; the jitted
                                     # step normalizes on device (4x less
                                     # host->device feed bandwidth)
+    t.TRAIN_PRNG = "rbg"            # dropout PRNG impl: rbg measured
+                                    # 240 vs 275 ms/step at 64f@420 bf16
+                                    # (threefry's counter math was ~13%
+                                    # of the step). Both are deterministic
+                                    # per key; rbg streams differ from
+                                    # threefry's and may vary across
+                                    # compiler versions — set
+                                    # "threefry2x32" for stream-exact
+                                    # reproducibility across jax upgrades
     return t
 
 
