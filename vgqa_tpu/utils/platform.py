@@ -37,7 +37,11 @@ def enable_compilation_cache() -> None:
     )
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # Persist tiny programs too: every compile here rides the remote
+        # service at ~350 ms/round-trip, so even jit_copy/broadcast_in_dim
+        # are worth caching (a warm 64f@420 bench_train restart paid ~80 s
+        # in 252 sub-threshold misses under the old 2.0 s floor).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # older jax without these flags
         pass
     # VGQA_EXPLAIN_CACHE=1: log WHY each compile missed the persistent
