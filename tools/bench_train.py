@@ -44,6 +44,10 @@ def main():
                     help="time the step with the per-leaf optax grad clip "
                          "AND clip_by_global_norm_flat in one process "
                          "(two compiles, comparable timings)")
+    ap.add_argument("--ab-flash-train", action="store_true",
+                    help="time the step with the XLA einsum encoder "
+                         "attention AND the differentiable flash kernel "
+                         "(ops/pallas/flash_train.py) in one process")
     ap.add_argument("--ab-rbg", action="store_true",
                     help="time the step with threefry AND rbg dropout "
                          "keys in one process (two compiles; rbg trades "
@@ -130,6 +134,14 @@ def main():
         for flat in ("0", "1"):
             os.environ["VGQA_FLAT_CLIP"] = flat
             build_and_time(f"[flat_clip={flat}] ")
+        return
+
+    if args.ab_flash_train:
+        import os
+
+        for flag in ("0", "1"):
+            os.environ["VGQA_FLASH_TRAIN"] = flag
+            build_and_time(f"[flash_train={flag}] ")
         return
 
     if args.ab_rbg:

@@ -137,6 +137,32 @@ class MultiHeadAttention(nn.Module):
                 interpret=interpret,
             ).reshape(*lead, n, d_model)
             return nn.Dense(out_dim, name="out_proj")(out)
+        if (
+            self.use_flash
+            and not deterministic
+            and not return_probs
+            and (jax.default_backend() == "tpu" or interpret)
+            and _os.environ.get("VGQA_FLASH_TRAIN", "1") == "1"
+        ):
+            # differentiable flash path: backward recomputes probabilities
+            # instead of storing the [.., H, Lq, Lk] tensor; attention-prob
+            # dropout runs in-kernel from a per-step seed
+            from ..ops.pallas.flash_train import flash_mha_train, supported_seq
+
+            if supported_seq(q.shape[-2], k.shape[-2]):
+                if self.dropout > 0:
+                    bits = jax.random.bits(
+                        self.make_rng("dropout"), (), jnp.uint32
+                    )
+                    seed = jax.lax.bitcast_convert_type(bits, jnp.int32)
+                else:
+                    seed = jnp.int32(0)
+                out = flash_mha_train(
+                    q, k, v, self.num_heads, key_mask=key_mask,
+                    dropout_rate=self.dropout, seed=seed,
+                    interpret=interpret,
+                )
+                return nn.Dense(out_dim, name="out_proj")(out)
         drop: Optional[Callable] = None
         if self.dropout > 0 and not deterministic:
             dropout_mod = nn.Dropout(self.dropout)
