@@ -166,6 +166,92 @@ def test_vit_flash_matches_einsum():
     )
 
 
+def _prefill_rows(eng, ids, S, rows=1):
+    """Prefill the same prompt into a fresh [rows, ...] KV cache — each row
+    through the [1, ...] prefill then the in-place row insert, exactly as
+    chat_batch assembles its batch cache. Returns ([rows, V] last-token
+    logits, cache)."""
+    import jax.numpy as jnp
+
+    from vgqa_tpu.qa.llm import init_kv_cache
+
+    embeds = eng.embed.apply({"params": eng.params["embed"]}, jnp.asarray(ids))
+    length = jnp.asarray(ids.shape[1])
+    batch = init_kv_cache(eng.llm_cfg, rows, S, jnp.float32)
+    lasts = []
+    for i in range(rows):
+        row = init_kv_cache(eng.llm_cfg, 1, S, jnp.float32)
+        last, row = eng._prefill(eng.params, embeds, length, row)
+        batch = eng._insert_cache_row(batch, row, jnp.asarray(i))
+        lasts.append(last)
+    return jnp.concatenate(lasts, axis=0), batch
+
+
+def test_greedy_loop_early_exit_emits_minus_one_after_stop(tiny_engine):
+    """r4 while_loop decode: generation stops at the stop id instead of
+    riding max_new_tokens. The emitted buffer keeps its [max_new_tokens]
+    shape with -1 from the stop onward, and the prefix matches the
+    unstopped run token-for-token (greedy determinism)."""
+    import jax.numpy as jnp
+
+    eng = tiny_engine
+    ids = np.array([[5, 9, 42, 3]], np.int32)
+    start = jnp.asarray(ids.shape[1], jnp.int32)
+    no_stop = jnp.asarray([-1, -1], jnp.int32)
+
+    logits, cache = _prefill_rows(eng, ids, S=32)
+    free = np.asarray(
+        eng._greedy_loop(eng.params, cache, logits, start, no_stop, 8)
+    )
+    assert free.shape == (8,) and (free >= 0).all()
+
+    # stop on the first token whose first occurrence is at index k >= 1
+    # (a tiny random model can be an argmax attractor — fall back to k=0,
+    # where the whole buffer must come back -1)
+    k = next((i for i in range(1, 8) if free[i] not in free[:i]), 0)
+    logits, cache = _prefill_rows(eng, ids, S=32)
+    stopped = np.asarray(
+        eng._greedy_loop(
+            eng.params, cache, logits, start,
+            jnp.asarray([int(free[k]), -1], jnp.int32), 8,
+        )
+    )
+    np.testing.assert_array_equal(stopped[:k], free[:k])
+    assert (stopped[k:] == -1).all()
+
+
+def test_greedy_batch_per_row_limits(tiny_engine):
+    """Lockstep batched decode caps each row at ITS OWN max_new_tokens
+    (``limits``): the short row emits -1 past its cap while the long row
+    reproduces the solo greedy answer from the same prompt."""
+    import jax.numpy as jnp
+
+    eng = tiny_engine
+    ids = np.array([[5, 9, 42, 3]], np.int32)
+    start = ids.shape[1]
+    no_stop = jnp.asarray([-1, -1], jnp.int32)
+
+    logits, cache = _prefill_rows(eng, ids, S=32)
+    solo = np.asarray(
+        eng._greedy_loop(
+            eng.params, cache, logits, jnp.asarray(start, jnp.int32),
+            no_stop, 6,
+        )
+    )
+
+    logits2, batch = _prefill_rows(eng, ids, S=32, rows=2)
+    toks = np.asarray(
+        eng._greedy_batch(
+            eng.params, batch, logits2,
+            jnp.asarray([start, start], jnp.int32), no_stop, 6,
+            jnp.asarray([2, 6], jnp.int32),
+        )
+    )  # [max_new_tokens, B]
+    np.testing.assert_array_equal(toks[:2, 0], solo[:2])
+    assert (toks[2:, 0] == -1).all()
+    np.testing.assert_array_equal(toks[:, 1], solo)
+
+
 def test_chat_batch_matches_sequential(tiny_engine):
     """Lockstep batched decode must reproduce each request's solo greedy
     answer (per-row cache positions, per-row stop) even with different
