@@ -252,6 +252,60 @@ def test_greedy_batch_per_row_limits(tiny_engine):
     np.testing.assert_array_equal(toks[:, 1], solo)
 
 
+def test_stacked_kv_cache_matches_list(monkeypatch, tiny_engine):
+    """VGQA_STACKED_KV=1 packs the KV cache into one [nL, B, KVH, S, hd]
+    buffer per side, so the decode while_loop carries 2 buffers instead of
+    2*num_layers (aimed at the remote compile service's deterministic
+    batch=4 failure, BASELINE.md r4). Layer access uses static indices —
+    greedy answers must match the per-layer-list layout exactly, solo and
+    batched, and the chunked prefill must fill identical cache contents."""
+    import jax.numpy as jnp
+
+    from vgqa_tpu.qa.llm import init_kv_cache
+
+    s = tiny_engine.vit_cfg.image_size
+    rng = np.random.RandomState(11)
+    reqs = [
+        (rng.randint(0, 256, (1, s, s, 3), dtype=np.uint8), "what moves?"),
+        (rng.randint(0, 256, (2, s, s, 3), dtype=np.uint8),
+         "describe the scene", [1, 1]),
+    ]
+    g = GenerationConfig(max_new_tokens=6, do_sample=False)
+    base_solo = tiny_engine.chat(reqs[0][0], reqs[0][1], g)
+    base_batch = tiny_engine.chat_batch(reqs, g)
+
+    monkeypatch.setenv("VGQA_STACKED_KV", "1")
+    eng = QAEngine.init_random(LLMConfig.tiny(), ViTConfig.tiny())
+    assert eng._stacked_kv
+    assert eng.chat(reqs[0][0], reqs[0][1], g) == base_solo
+    assert eng.chat_batch(reqs, g) == base_batch
+
+    # chunked prefill writes the same KV into the stacked layout
+    eng.PREFILL_CHUNK = 8
+    ids = np.random.RandomState(0).randint(8, 200, (1, 32)).astype(np.int32)
+    embeds = eng.embed.apply(
+        {"params": eng.params["embed"]}, jnp.asarray(ids)
+    )
+    length = 27
+    list_cache = init_kv_cache(eng.llm_cfg, 1, 40, jnp.float32)
+    _, list_cache = eng._prefill_impl(
+        eng.params, embeds, jnp.asarray(length), list_cache
+    )
+    stk = init_kv_cache(eng.llm_cfg, 1, 40, jnp.float32, stacked=True)
+    _, stk = eng._prefill_chunked_impl(
+        eng.params, embeds, jnp.asarray(length), stk
+    )
+    for i, (k1, v1) in enumerate(list_cache):
+        np.testing.assert_allclose(
+            np.asarray(k1)[:, :, :length],
+            np.asarray(stk[0])[i][:, :, :length], atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(v1)[:, :, :length],
+            np.asarray(stk[1])[i][:, :, :length], atol=2e-4,
+        )
+
+
 def test_chat_batch_matches_sequential(tiny_engine):
     """Lockstep batched decode must reproduce each request's solo greedy
     answer (per-row cache positions, per-row stop) even with different

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .llm import LLM, LLMConfig, TokenEmbedding, init_kv_cache
+from .llm import (LLM, LLMConfig, TokenEmbedding, init_kv_cache,
+                  kv_cache_stacked, kv_seq_len)
 from .vit import ViTConfig, VisionTower
 
 
@@ -161,6 +162,13 @@ class QAEngine:
         self._w8a8_prefill = (
             _os.environ.get("VGQA_W8A8_PREFILL", "1") != "0"
         )
+        # VGQA_STACKED_KV=1: one [nL, B, KVH, S, hd] buffer per KV side
+        # instead of 2*num_layers separate buffers (llm.init_kv_cache).
+        # Bit-identical math (static layer indices); shrinks the decode
+        # while_loop's carried-buffer count 32x — aimed at the remote
+        # compile service's deterministic batch=4 failure (BASELINE.md r4).
+        # Default off until measured on TPU.
+        self._stacked_kv = _os.environ.get("VGQA_STACKED_KV", "0") == "1"
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(3,))
         self._prefill_chunked = jax.jit(self._prefill_chunked_impl,
                                         donate_argnums=(3,))
@@ -180,10 +188,11 @@ class QAEngine:
         # [B, ...] output, so donating it would only warn): chat_batch's
         # peak KV memory stays batch + one row instead of 2x batch at the
         # concat
+        _row_axis = 1 if self._stacked_kv else 0  # stacked: [nL, B, ...]
         self._insert_cache_row = jax.jit(
             lambda batch, row, i: jax.tree.map(
                 lambda b, r: jax.lax.dynamic_update_slice_in_dim(
-                    b, r.astype(b.dtype), i, axis=0),
+                    b, r.astype(b.dtype), i, axis=_row_axis),
                 batch, row,
             ),
             donate_argnums=(0,),
@@ -236,6 +245,15 @@ class QAEngine:
             w8a8=self._w8a8_prefill,
         )
         # copy prefill kv into the persistent cache
+        if kv_cache_stacked(cache):
+            nk = jnp.stack([k for k, _ in new_cache]).astype(cache[0].dtype)
+            nv = jnp.stack([v for _, v in new_cache]).astype(cache[1].dtype)
+            zeros = (0, 0, 0, 0, 0)
+            filled = (
+                jax.lax.dynamic_update_slice(cache[0], nk, zeros),
+                jax.lax.dynamic_update_slice(cache[1], nv, zeros),
+            )
+            return logits[:, 0], filled
         filled = []
         for (ck, cv), (nk, nv) in zip(cache, new_cache):
             ck = jax.lax.dynamic_update_slice(
@@ -264,7 +282,7 @@ class QAEngine:
         CK = self.PREFILL_CHUNK
         Lp = embeds.shape[1]
         assert Lp % CK == 0, (Lp, CK)
-        S = cache[0][0].shape[2]
+        S = kv_seq_len(cache)
         key_idx = jnp.arange(S)
         last = None
         for i in range(Lp // CK):
@@ -319,7 +337,7 @@ class QAEngine:
         from .llm_functional import embed_tokens, llm_forward
 
         embeds = embed_tokens(params["embed"], self.llm_cfg, token[:, None])
-        S = cache[0][0].shape[2]
+        S = kv_seq_len(cache)
         mask = (jnp.arange(S)[None, None, :] <= position)
         logits, new_cache = llm_forward(
             params["llm"], self.llm_cfg, embeds,
@@ -352,7 +370,7 @@ class QAEngine:
         are unchanged)."""
         from .llm_functional import embed_tokens, llm_forward
 
-        S = cache[0][0].shape[2]
+        S = kv_seq_len(cache)
         tokens0 = jnp.full((max_new_tokens,), -1, jnp.int32)
 
         def cond(state):
@@ -395,7 +413,7 @@ class QAEngine:
         a batch of short answers does not ride the full token budget."""
         from .llm_functional import embed_tokens, llm_forward
 
-        S = cache[0][0].shape[2]
+        S = kv_seq_len(cache)
         B = first_logits.shape[0]
         tokens0 = jnp.full((max_new_tokens, B), -1, jnp.int32)
 
@@ -441,7 +459,7 @@ class QAEngine:
         behavior-identical to solo serving (tests/test_qa.py)."""
         from .llm_functional import embed_tokens, llm_forward
 
-        S = cache[0][0].shape[2]
+        S = kv_seq_len(cache)
 
         def pick_row(logits, key, temperature, top_p):
             scaled = logits.astype(jnp.float32) / jnp.maximum(
@@ -497,7 +515,7 @@ class QAEngine:
         """Temperature + nucleus sampling as one device program."""
         from .llm_functional import embed_tokens, llm_forward
 
-        S = cache[0][0].shape[2]
+        S = kv_seq_len(cache)
 
         def pick(logits, key):
             scaled = logits.astype(jnp.float32) / jnp.maximum(temperature, 0.01)
@@ -683,7 +701,8 @@ class QAEngine:
                 vision_tokens.astype(self.dtype)
             )
 
-        cache = init_kv_cache(self.llm_cfg, 1, max_total, self.dtype)
+        cache = init_kv_cache(self.llm_cfg, 1, max_total, self.dtype,
+                              stacked=self._stacked_kv)
         if chunked:
             # long prompts (e.g. 32-frame QA, ~8.7k tokens): chunked
             # prefill bounds transient attention logits at [H, CK, S]
@@ -811,7 +830,8 @@ class QAEngine:
         # 32-frame protocol a cache row is ~1.2 GB, so B=4 concat + the four
         # row caches + the 7.7 GB int8 weights would exceed one v5e's HBM)
         batch_cache = init_kv_cache(
-            self.llm_cfg, len(prepped), max_total, self.dtype
+            self.llm_cfg, len(prepped), max_total, self.dtype,
+            stacked=self._stacked_kv,
         )
         first_rows, lengths = [], []
         for i, (vision_tokens, ids, img_positions, length) in enumerate(
@@ -825,7 +845,8 @@ class QAEngine:
                 embeds = embeds.at[0, jnp.asarray(img_positions)].set(
                     vision_tokens.astype(self.dtype)
                 )
-            cache = init_kv_cache(self.llm_cfg, 1, max_total, self.dtype)
+            cache = init_kv_cache(self.llm_cfg, 1, max_total, self.dtype,
+                                  stacked=self._stacked_kv)
             fn = self._prefill_chunked if chunked else self._prefill
             logits, cache = fn(self.params, embeds, jnp.asarray(length),
                                cache)

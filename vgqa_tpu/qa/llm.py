@@ -191,7 +191,23 @@ class TokenEmbedding(nn.Module):
         )
 
 
-def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
+                  stacked: bool = False):
+    """KV cache in one of two layouts (llm_forward accepts either):
+
+    * list of per-layer ([B, KVH, S, hd], [B, KVH, S, hd]) pairs — the
+      default. A 32-layer decode program carries 2*nL separate buffers.
+    * ``stacked``: ONE ([nL, B, KVH, S, hd], [nL, B, KVH, S, hd]) pair —
+      the decode while_loop then carries 2 buffers instead of 64, which
+      shrinks the program the remote compile service has to buffer-assign
+      (the QA batch=4 decode failed deterministically in that service with
+      the 64-buffer carry, BASELINE.md r4). Layer reads/writes use static
+      layer indices, so the compiled math is identical.
+    """
+    if stacked:
+        shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len,
+                 cfg.head_dim)
+        return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
     return [
         (
             jnp.zeros((batch, cfg.num_kv_heads, max_len, cfg.head_dim), dtype),
@@ -199,3 +215,15 @@ def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
         )
         for _ in range(cfg.num_layers)
     ]
+
+
+def kv_cache_stacked(cache) -> bool:
+    """True for the stacked ([nL, B, KVH, S, hd], ...) layout."""
+    return isinstance(cache, tuple) and hasattr(cache[0], "shape")
+
+
+def kv_seq_len(cache) -> int:
+    """Static sequence capacity S of either cache layout (no traced ops)."""
+    if kv_cache_stacked(cache):
+        return cache[0].shape[3]
+    return cache[0][0].shape[2]

@@ -14,7 +14,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .llm import LLMConfig, apply_rope, rotary_embedding
+from .llm import LLMConfig, apply_rope, kv_cache_stacked, rotary_embedding
 from .quant import quant_matmul, quant_matmul_w8a8
 
 
@@ -80,6 +80,9 @@ def llm_forward(
     x = input_embeds
     B, L, _ = x.shape
     hd = cfg.head_dim
+    stacked = cache is not None and kv_cache_stacked(cache)
+    if stacked:
+        ck_all, cv_all = cache
     new_cache = []
     act_stats: Dict[str, Dict[str, jnp.ndarray]] = {}
 
@@ -98,7 +101,30 @@ def llm_forward(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        if cache is not None:
+        if stacked:
+            # one [nL, B, KVH, S, hd] buffer per side: layer index i is
+            # STATIC, so each write is a dynamic_update_slice into the
+            # donated stacked buffer (aliased in place) and each read a
+            # static slice — same math as the per-layer list, but the
+            # decode while_loop carries 2 buffers instead of 2*nL
+            k_t = k.transpose(0, 2, 1, 3).astype(ck_all.dtype)
+            v_t = v.transpose(0, 2, 1, 3).astype(cv_all.dtype)
+            if jnp.ndim(cache_index) == 1:
+                # batched decode (L=1): row b writes at ITS OWN position
+                for b in range(B):
+                    start = (i, b, 0, cache_index[b], 0)
+                    ck_all = jax.lax.dynamic_update_slice(
+                        ck_all, k_t[b:b + 1][None], start
+                    )
+                    cv_all = jax.lax.dynamic_update_slice(
+                        cv_all, v_t[b:b + 1][None], start
+                    )
+            else:
+                start = (i, 0, 0, cache_index, 0)
+                ck_all = jax.lax.dynamic_update_slice(ck_all, k_t[None], start)
+                cv_all = jax.lax.dynamic_update_slice(cv_all, v_t[None], start)
+            keys, values = ck_all[i], cv_all[i]
+        elif cache is not None:
             ck, cv = cache[i]
             k_t = k.transpose(0, 2, 1, 3)
             v_t = v.transpose(0, 2, 1, 3)
@@ -173,9 +199,10 @@ def llm_forward(
     if lm_head_rows is not None:
         x = jnp.take_along_axis(x, lm_head_rows[:, None, None], axis=1)
     logits = _dense(x, params["lm_head"])
+    out_cache = (ck_all, cv_all) if stacked else new_cache
     if collect_act_stats:
-        return logits, new_cache, act_stats
-    return logits, new_cache
+        return logits, out_cache, act_stats
+    return logits, out_cache
 
 
 def embed_tokens(params: Dict[str, Any], cfg: LLMConfig, token_ids):
