@@ -71,6 +71,45 @@ def run(engine, tiles, n_frames, max_new, label):
     return toks
 
 
+def bench_batches(engine, tiles, n_frames, max_new, sizes):
+    """chat_batch lockstep serving at each batch size vs sequential chats."""
+    from vgqa_tpu.qa import GenerationConfig
+
+    gen = GenerationConfig(max_new_tokens=max_new, do_sample=False,
+                           ignore_eos=True)
+    seq_1 = None
+    for B in sizes:
+        if B < 1:
+            continue
+        reqs = [
+            (tiles, f"what happens in the video {i}?", [1] * n_frames)
+            for i in range(B)
+        ]
+        try:
+            engine.chat_batch(reqs, gen)  # compile
+            t0 = time.time()
+            engine.chat_batch(reqs, gen)
+            bt = time.time() - t0
+        except Exception as e:  # document the HBM ceiling, keep going
+            msg = str(e).splitlines()[0][:160]
+            print(f"batch={B}: FAILED ({type(e).__name__}: {msg})",
+                  flush=True)
+            continue
+        if seq_1 is None:
+            t0 = time.time()
+            engine.chat(reqs[0][0], reqs[0][1], gen,
+                        num_patches_list=reqs[0][2])
+            seq_1 = time.time() - t0
+        st = B * seq_1
+        agg = B * max_new / bt
+        print(
+            f"batch={B}: {bt:.2f}s batched vs ~{st:.2f}s sequential "
+            f"({st / bt:.2f}x) | aggregate {agg:.1f} tok/s e2e | "
+            f"per-request latency {bt:.2f}s",
+            flush=True,
+        )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=16)
@@ -97,6 +136,12 @@ def main():
                     help="A/B the ViT attention op in the vision phase: "
                          "XLA einsum vs the Pallas flash kernel, one "
                          "process (engine.set_vit_flash)")
+    ap.add_argument("--ab-stacked-kv", action="store_true",
+                    help="A/B the KV-cache layout in-process: per-layer "
+                         "list vs one stacked [nL, ...] buffer per side "
+                         "(engine.set_stacked_kv). Runs e2e both arms; "
+                         "--batch-sweep sizes run on the STACKED arm (the "
+                         "list-layout batch numbers are in BASELINE.md)")
     ap.add_argument("--quant-only", action="store_true",
                     help="skip the bf16 pass (8B-class bf16 exceeds one "
                          "v5e's 16 GB HBM; int8 fits)")
@@ -205,6 +250,19 @@ def main():
                   f"({args.frames} tiles)", flush=True)
         return
 
+    if args.ab_stacked_kv:
+        # in-process KV-layout A/B (one chip session -> comparable):
+        # decode jits retrace on the new cache pytree; params untouched
+        for stacked in (False, True):
+            engine.set_stacked_kv(stacked)
+            run(engine, tiles, args.frames, args.max_new,
+                f"int8 stacked_kv={int(stacked)} ")
+        if args.batch_sweep:
+            sizes = [int(b) for b in args.batch_sweep.split(",")]
+            print("batch sweep on the stacked layout:", flush=True)
+            bench_batches(engine, tiles, args.frames, args.max_new, sizes)
+        return
+
     bf16 = None
     if not args.quant_only:
         bf16 = run(engine, tiles, args.frames, args.max_new, "bf16 ")
@@ -251,44 +309,10 @@ def main():
     if args.batch > 1 or args.batch_sweep:
         # concurrent serving: B requests through chat_batch (per-row KV
         # rows, lockstep decode) vs B sequential chats. --batch accepts a
-        # single B or the max of a {1,2,4,8}-style sweep via --batch-sweep.
-        from vgqa_tpu.qa import GenerationConfig
-
-        gen = GenerationConfig(max_new_tokens=args.max_new,
-                               do_sample=False, ignore_eos=True)
+        # single B or a {1,2,4,8}-style sweep via --batch-sweep.
         sizes = ([int(b) for b in args.batch_sweep.split(",")]
                  if args.batch_sweep else [args.batch])
-        seq_1 = None
-        for B in sizes:
-            if B < 1:
-                continue
-            reqs = [
-                (tiles, f"what happens in the video {i}?", [1] * args.frames)
-                for i in range(B)
-            ]
-            try:
-                engine.chat_batch(reqs, gen)  # compile
-                t0 = time.time()
-                engine.chat_batch(reqs, gen)
-                bt = time.time() - t0
-            except Exception as e:  # document the HBM ceiling, keep going
-                msg = str(e).splitlines()[0][:160]
-                print(f"batch={B}: FAILED ({type(e).__name__}: {msg})",
-                      flush=True)
-                continue
-            if seq_1 is None:
-                t0 = time.time()
-                engine.chat(reqs[0][0], reqs[0][1], gen,
-                            num_patches_list=reqs[0][2])
-                seq_1 = time.time() - t0
-            st = B * seq_1
-            agg = B * args.max_new / bt
-            print(
-                f"batch={B}: {bt:.2f}s batched vs ~{st:.2f}s sequential "
-                f"({st / bt:.2f}x) | aggregate {agg:.1f} tok/s e2e | "
-                f"per-request latency {bt:.2f}s",
-                flush=True,
-            )
+        bench_batches(engine, tiles, args.frames, args.max_new, sizes)
 
 
 if __name__ == "__main__":

@@ -188,6 +188,12 @@ class QAEngine:
         # [B, ...] output, so donating it would only warn): chat_batch's
         # peak KV memory stays batch + one row instead of 2x batch at the
         # concat
+        self._build_insert_cache_row()
+        self._sample_batch = jax.jit(
+            self._sample_batch_impl, static_argnums=(5,), donate_argnums=(1,)
+        )
+
+    def _build_insert_cache_row(self):
         _row_axis = 1 if self._stacked_kv else 0  # stacked: [nL, B, ...]
         self._insert_cache_row = jax.jit(
             lambda batch, row, i: jax.tree.map(
@@ -197,9 +203,13 @@ class QAEngine:
             ),
             donate_argnums=(0,),
         )
-        self._sample_batch = jax.jit(
-            self._sample_batch_impl, static_argnums=(5,), donate_argnums=(1,)
-        )
+
+    def set_stacked_kv(self, flag: bool):
+        """Switch the KV-cache layout in process (bench A/Bs). The
+        prefill/decode jits retrace automatically on the new cache pytree;
+        only the row-insert's axis is baked into a closure and rebuilt."""
+        self._stacked_kv = bool(flag)
+        self._build_insert_cache_row()
 
     # -- params init (random; converters fill real weights) ----------------
     @classmethod
