@@ -429,6 +429,48 @@ def test_qa_predict_many_isolates_overlong_prompt(tmp_path):
     assert "context" in str(results[1])
 
 
+def test_qa_predict_quantized_model_dir(tmp_path):
+    """A --quantize converted dir (kernel_q4/kernel_q + scales instead of
+    kernel) must load through the CLI path: the restore follows the
+    checkpoint's own structure, not the raw-params template (regression —
+    template-driven restore rejected every quantized dir), and quant
+    scales stay f32 while float weights cast to the engine dtype."""
+    import dataclasses
+    import json
+
+    from vgqa_tpu.data.synthetic import write_synthetic_video
+    from vgqa_tpu.inference.qa import _load_engine, predict
+    from vgqa_tpu.qa import LLMConfig, QAEngine, ViTConfig
+    from vgqa_tpu.qa.quant import quantize_llm_params_int4
+    from vgqa_tpu.training.checkpoint import CheckpointManager
+
+    llm_cfg, vit_cfg = LLMConfig.tiny(), ViTConfig.tiny()
+    eng = QAEngine.init_random(llm_cfg, vit_cfg)
+    tree = dict(eng.params)
+    tree["llm"] = quantize_llm_params_int4(eng.params["llm"], group_size=32)
+    mdl = tmp_path / "model"
+    CheckpointManager(str(mdl)).save("params", tree)
+    with open(mdl / "vgqa_tpu_config.json", "w") as f:
+        json.dump({"llm": dataclasses.asdict(llm_cfg),
+                   "vit": dataclasses.asdict(vit_cfg)}, f)
+
+    video = str(tmp_path / "v.mp4")
+    write_synthetic_video(video, 8, (64, 48), seed=0)
+    result = predict(video, "what moves?", model_dir=str(mdl),
+                     num_frames=2, max_new_tokens=4, temperature=0.0)
+    assert isinstance(result["answer"], str)
+
+    import jax.numpy as jnp
+
+    loaded = _load_engine(str(mdl))
+    l0 = loaded.params["llm"]["layer_0"]
+    assert "kernel_q4" in l0["q_proj"]
+    assert l0["q_proj"]["scale4"].dtype == jnp.float32      # scales stay f32
+    emb = loaded.params["embed"]["tok_embeddings"]["embedding"]
+    assert emb.dtype == jnp.bfloat16                        # floats cast
+    _load_engine.cache_clear()
+
+
 def test_qa_predict_missing_model_dir(tmp_path):
     from vgqa_tpu.data.synthetic import write_synthetic_video
     from vgqa_tpu.inference.qa import predict

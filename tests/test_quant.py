@@ -188,3 +188,134 @@ def test_w8a8_prefill_default_on():
         assert not eng2._w8a8_prefill
     finally:
         del os.environ["VGQA_W8A8_PREFILL"]
+
+
+# -- int4 weight-only (group-wise) tests --------------------------------------
+def test_int4_pack_roundtrip_exact():
+    """dequantize(quantize_int4(w)) must equal the explicit group-wise RTN
+    of w — the nibble pack/unpack is lossless over [-7, 7]."""
+    from vgqa_tpu.qa.quant import (dequantize_kernel_int4,
+                                   quantize_kernel_int4)
+
+    rng = np.random.RandomState(0)
+    w = rng.randn(256, 48).astype(np.float32) * rng.rand(1, 48)
+    qp = quantize_kernel_int4(jnp.asarray(w), group_size=64)
+    assert qp["kernel_q4"].shape == (128, 48)
+    assert qp["kernel_q4"].dtype == jnp.int8
+    assert qp["scale4"].shape == (4, 48)
+
+    # explicit reference RTN
+    k = w.reshape(4, 64, 48)
+    scale = np.maximum(np.abs(k).max(axis=1), 1e-8) / 7.0
+    q = np.clip(np.round(k / scale[:, None, :]), -7, 7)
+    ref = (q * scale[:, None, :]).reshape(256, 48)
+
+    deq = np.asarray(dequantize_kernel_int4(qp))
+    np.testing.assert_allclose(deq, ref, rtol=0, atol=1e-6)
+
+
+def test_int4_matmul_accuracy():
+    from vgqa_tpu.qa.quant import quant_matmul_int4, quantize_kernel_int4
+
+    rng = np.random.RandomState(1)
+    w = rng.randn(512, 64).astype(np.float32) * 0.1
+    x = rng.randn(4, 512).astype(np.float32)
+    qp = quantize_kernel_int4(jnp.asarray(w))
+    out = np.asarray(quant_matmul_int4(jnp.asarray(x), qp))
+    ref = x @ w
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    # int4 RTN group-128: ~7% per-element weight error -> ~10% max-rel
+    # on random gaussian matmuls (measured 0.103); the dequantized-weight
+    # matmul itself is exact to float accumulation (<0.4%)
+    assert rel < 0.15, rel
+    from vgqa_tpu.qa.quant import dequantize_kernel_int4
+
+    deq = np.asarray(dequantize_kernel_int4(qp))
+    rel_deq = np.abs(out - x @ deq).max() / np.abs(ref).max()
+    assert rel_deq < 0.005, rel_deq
+
+
+def test_int4_engine_runs_and_logits_close():
+    """int4 tree (lm_head int8) through llm_forward + a full engine chat."""
+    from vgqa_tpu.qa.quant import quantize_llm_params_int4
+
+    eng = QAEngine.init_random(LLMConfig.tiny(), ViTConfig.tiny())
+    qparams = dict(eng.params)
+    qparams["llm"] = quantize_llm_params_int4(eng.params["llm"],
+                                              group_size=32)
+    assert is_quantized(qparams["llm"])
+    l0 = qparams["llm"]["layer_0"]
+    assert "kernel_q4" in l0["q_proj"] and "kernel_q4" in l0["down_proj"]
+    assert "kernel_q" in qparams["llm"]["lm_head"]  # int8 head
+
+    ids = np.array([[5, 9, 30]], np.int32)
+    embeds = embed_tokens(eng.params["embed"], eng.llm_cfg, jnp.asarray(ids))
+    pos = jnp.arange(3)[None]
+    mask = jnp.tril(jnp.ones((1, 3, 3), bool))
+    quant, _ = llm_forward(qparams["llm"], eng.llm_cfg, embeds, pos, mask)
+
+    # correctness: the packed-int4 forward must MATCH the same forward
+    # over explicitly dequantized kernels (isolates pack/unpack/fusion
+    # from int4's intrinsic quantization error, which compounds over
+    # layers on tiny random models — measured ~0.29 rel on the full tree)
+    from vgqa_tpu.qa.quant import dequantize_kernel_int4
+
+    def dequant_tree(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                if "kernel_q4" in v:
+                    out[k] = {"kernel": dequantize_kernel_int4(v)}
+                else:
+                    out[k] = dequant_tree(v)
+            else:
+                out[k] = v
+        return out
+
+    ref, _ = llm_forward(dequant_tree(qparams["llm"]), eng.llm_cfg,
+                         embeds, pos, mask)
+    denom = float(jnp.abs(ref).max())
+    rel = float(jnp.abs(ref - quant).max()) / max(denom, 1e-6)
+    assert rel < 5e-3, rel
+
+    s = eng.vit_cfg.image_size
+    tiles = np.random.RandomState(0).rand(1, s, s, 3).astype(np.float32)
+    gen = GenerationConfig(max_new_tokens=4, do_sample=False)
+    qeng = QAEngine(eng.llm_cfg, eng.vit_cfg, qparams)
+    assert isinstance(qeng.chat(tiles, "what?", gen), str)
+
+
+def test_int4_gate_production_width():
+    """run_gate_int4 at production hidden width, shallow for CPU runtime:
+    implementation soundness (packed matmul == dequant matmul) must pass;
+    the int4-over-int8 error ratio is reported context on the random
+    proxy (measured ~10x — random weights overstate trained-model int4
+    error; see gate_w8a8.py docstring). tools/gate_w8a8.py --wq int4 runs
+    the same gate at depth."""
+    from vgqa_tpu.qa.gate_w8a8 import run_gate_int4
+    from vgqa_tpu.qa.llm import LLMConfig
+
+    cfg = LLMConfig(vocab_size=2048, num_layers=1, max_seq_len=256)
+    r = run_gate_int4(cfg, n_prompts=2, prompt_len=48, new_tokens=8)
+    assert r["criteria"]["impl_rel_err<=0.005"], r["impl_rel_err_vs_dequant"]
+    assert r["pass"] is True
+    assert r["int4_over_int8_ratio"] > 0  # context fields populated
+    assert len(r["int4_vs_raw"]) == 2
+
+
+def test_int4_memory_shrinks_vs_int8():
+    from vgqa_tpu.qa.quant import quantize_llm_params_int4
+
+    eng = QAEngine.init_random(LLMConfig.tiny(), ViTConfig.tiny())
+
+    def nbytes(tree):
+        return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree))
+
+    int8 = quantize_llm_params({k: v for k, v in eng.params["llm"].items()
+                                if k.startswith("layer_")})
+    int4 = quantize_llm_params_int4(
+        {k: v for k, v in eng.params["llm"].items()
+         if k.startswith("layer_")}, group_size=32)
+    # layer projections only (embeddings/norms identical): ~2x smaller,
+    # scales cost more at tiny widths so allow 0.7x
+    assert nbytes(int4) < 0.7 * nbytes(int8), (nbytes(int4), nbytes(int8))

@@ -145,6 +145,11 @@ def main():
     ap.add_argument("--quant-only", action="store_true",
                     help="skip the bf16 pass (8B-class bf16 exceeds one "
                          "v5e's 16 GB HBM; int8 fits)")
+    ap.add_argument("--wq", choices=("int8", "int4"), default="int8",
+                    help="weight-only quantization for the quant pass: "
+                         "int8 per-channel (default) or int4 group-128 "
+                         "(lm_head stays int8) — decode is weight-HBM-"
+                         "bound, int4 halves the per-token weight read")
     args = ap.parse_args()
 
     import jax
@@ -152,7 +157,13 @@ def main():
     import numpy as np
 
     from vgqa_tpu.qa import LLMConfig, QAEngine, ViTConfig
-    from vgqa_tpu.qa.quant import quantize_llm_params
+    from vgqa_tpu.qa.quant import (quantize_llm_params,
+                                   quantize_llm_params_int4)
+
+    def quantize(tree):
+        if args.wq == "int4":
+            return quantize_llm_params_int4(tree)
+        return quantize_llm_params(tree)
 
     llm_cfg = LLMConfig(
         vocab_size=92553, hidden_size=args.hidden, num_layers=args.layers,
@@ -188,7 +199,7 @@ def main():
                 if x.dtype == jnp.float32 else x,
                 engine.params,
             )
-            engine.params["llm"] = quantize_llm_params(engine.params["llm"])
+            engine.params["llm"] = quantize(engine.params["llm"])
         dev = jax.devices()[0]
         engine.params = jax.device_put(engine.params, dev)
     else:
@@ -266,10 +277,10 @@ def main():
     bf16 = None
     if not args.quant_only:
         bf16 = run(engine, tiles, args.frames, args.max_new, "bf16 ")
-        engine.params["llm"] = quantize_llm_params(engine.params["llm"])
-    int8 = run(engine, tiles, args.frames, args.max_new, "int8 ")
+        engine.params["llm"] = quantize(engine.params["llm"])
+    int8 = run(engine, tiles, args.frames, args.max_new, f"{args.wq} ")
     if bf16:
-        print(f"int8/bf16 speedup: {int8 / bf16:.2f}x", flush=True)
+        print(f"{args.wq}/bf16 speedup: {int8 / bf16:.2f}x", flush=True)
 
     if args.ab_w8a8:
         # A/B the W8A8 prefill in-process: the flag is frozen into the

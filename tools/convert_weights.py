@@ -67,6 +67,12 @@ def main():
         if name == "qa":
             p.add_argument("--quantize", action="store_true",
                            help="int8 weight-only quantize the LLM")
+            p.add_argument("--wq", choices=("int8", "int4"), default="int8",
+                           help="with --quantize: int8 per-channel "
+                                "(default, W8A8-prefill capable) or int4 "
+                                "group-128 (lm_head stays int8; halves the "
+                                "decode weight read — opt-in, verify "
+                                "accuracy on your eval set first)")
             p.add_argument("--no-smooth", action="store_true",
                            help="skip the SmoothQuant activation-outlier "
                                 "fold before quantizing (the fold is exact "
@@ -104,6 +110,7 @@ def main():
         if args.quantize:
             from vgqa_tpu.qa.quant import (collect_smooth_stats,
                                            quantize_llm_params,
+                                           quantize_llm_params_int4,
                                            smooth_llm_params)
 
             if not args.no_smooth:
@@ -126,7 +133,12 @@ def main():
                       "serve with VGQA_W8A8_PREFILL=0 (the default-on W8A8 "
                       "prefill is gated on smoothed weights; "
                       "tools/gate_w8a8.py)")
-            tree["llm"] = quantize_llm_params(tree["llm"])
+            if args.wq == "int4":
+                # smoothing folds still help (they shrink weight-row
+                # outliers the group scales must cover)
+                tree["llm"] = quantize_llm_params_int4(tree["llm"])
+            else:
+                tree["llm"] = quantize_llm_params(tree["llm"])
         _save(tree, args.dst)
         return
 

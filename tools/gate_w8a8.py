@@ -48,8 +48,17 @@ def main(argv=None):
                         "convert without --quantize; the gate smooths and "
                         "quantizes itself): gate REAL weights instead of "
                         "the random proxy")
-    p.add_argument("--out", default="GATE_W8A8.json")
+    p.add_argument("--wq", choices=("w8a8", "int4"), default="w8a8",
+                   help="which quantized path to gate: the default-on "
+                        "W8A8 prefill, or the opt-in int4 group-wise "
+                        "decode weights (reports int4's logit error "
+                        "relative to the shipped int8 default)")
+    p.add_argument("--group-size", type=int, default=128,
+                   help="int4 contraction-axis group size (--wq int4)")
+    p.add_argument("--out", default="")
     args = p.parse_args(argv)
+    if not args.out:
+        args.out = "GATE_INT4.json" if args.wq == "int4" else "GATE_W8A8.json"
 
     import jax.numpy as jnp
 
@@ -73,11 +82,22 @@ def main(argv=None):
             num_layers=args.layers, max_seq_len=4096,
         )
 
-    result = run_gate(
-        cfg, n_prompts=args.prompts, prompt_len=args.prompt_len,
-        new_tokens=args.new_tokens, dtype=jnp.bfloat16, seed=args.seed,
-        params=params, smooth=not args.no_smooth, smooth_alpha=args.alpha,
-    )
+    if args.wq == "int4":
+        from vgqa_tpu.qa.gate_w8a8 import run_gate_int4
+
+        result = run_gate_int4(
+            cfg, n_prompts=args.prompts, prompt_len=args.prompt_len,
+            new_tokens=args.new_tokens, dtype=jnp.bfloat16, seed=args.seed,
+            params=params, smooth=not args.no_smooth,
+            smooth_alpha=args.alpha, group_size=args.group_size,
+        )
+    else:
+        result = run_gate(
+            cfg, n_prompts=args.prompts, prompt_len=args.prompt_len,
+            new_tokens=args.new_tokens, dtype=jnp.bfloat16, seed=args.seed,
+            params=params, smooth=not args.no_smooth,
+            smooth_alpha=args.alpha,
+        )
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2))

@@ -56,13 +56,29 @@ def _load_engine(model_dir: str) -> QAEngine:
     )
     weights = os.path.join(model_dir, "params")
     if os.path.exists(weights):
-        # converted orbax checkpoint (tools/convert_weights.py qa)
+        # Converted orbax checkpoint (tools/convert_weights.py qa).
+        # Restore in the checkpoint's OWN structure: a --quantize dir holds
+        # kernel_q/kernel_q4+scales where the raw template has kernel, so a
+        # template-driven restore would reject it. Float weights are then
+        # cast to the engine dtype (bf16) — except quantization scales,
+        # whose f32 precision the int8/int4 matmuls depend on.
         from ..training.checkpoint import CheckpointManager
 
         mgr = CheckpointManager(model_dir, save_to_disk=False)
-        restored = mgr.load(engine.params, weights)
+        restored = mgr.load_saved(weights)
         if restored is not None:
-            engine.params = restored
+            import jax
+
+            keep_f32 = {"scale", "scale4"}
+
+            def _cast(path, x):
+                if x.dtype != jnp.float32:
+                    return x
+                if any(getattr(k, "key", None) in keep_f32 for k in path):
+                    return x
+                return x.astype(engine.dtype)
+
+            engine.params = jax.tree_util.tree_map_with_path(_cast, restored)
     else:
         # raw HF torch checkpoint dir -> convert in place
         bins = [

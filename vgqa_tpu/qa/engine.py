@@ -165,9 +165,11 @@ class QAEngine:
         # VGQA_STACKED_KV=1: one [nL, B, KVH, S, hd] buffer per KV side
         # instead of 2*num_layers separate buffers (llm.init_kv_cache).
         # Bit-identical math (static layer indices); shrinks the decode
-        # while_loop's carried-buffer count 32x — aimed at the remote
-        # compile service's deterministic batch=4 failure (BASELINE.md r4).
-        # Default off until measured on TPU.
+        # while_loop's carried-buffer count 32x. MEASURED r4 (BASELINE.md):
+        # decode 81.5 vs 82.4 tok/s — no throughput change — and the
+        # remote-compile batch=4 failure it targeted reproduces identically
+        # on the stacked layout too. Kept off: a layout knob with no
+        # measured win.
         self._stacked_kv = _os.environ.get("VGQA_STACKED_KV", "0") == "1"
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(3,))
         self._prefill_chunked = jax.jit(self._prefill_chunked_impl,

@@ -15,10 +15,15 @@ import jax
 import jax.numpy as jnp
 
 from .llm import LLMConfig, apply_rope, kv_cache_stacked, rotary_embedding
-from .quant import quant_matmul, quant_matmul_w8a8
+from .quant import quant_matmul, quant_matmul_int4, quant_matmul_w8a8
 
 
 def _dense(x: jnp.ndarray, p: Dict[str, Any], w8a8: bool = False) -> jnp.ndarray:
+    if "kernel_q4" in p:
+        # int4 group-wise weights: always bf16 activations (the W8A8
+        # int8xint8 MXU path needs a per-output rescale, which group
+        # scales on the contraction axis don't factor into)
+        return quant_matmul_int4(x, p)
     if "kernel_q" in p:
         return quant_matmul_w8a8(x, p) if w8a8 else quant_matmul(x, p)
     y = jnp.einsum(

@@ -83,7 +83,122 @@ def quant_matmul_w8a8(
 
 def is_quantized(llm_params: Dict[str, Any]) -> bool:
     layer0 = llm_params.get("layer_0", {})
-    return "kernel_q" in layer0.get("q_proj", {})
+    q = layer0.get("q_proj", {})
+    return "kernel_q" in q or "kernel_q4" in q
+
+
+# -- int4 weight-only (group-wise) --------------------------------------------
+#
+# Decode on one v5e is HBM-bound: each token streams the full weight set
+# (7.7 GB int8 for the 8B LLM) plus ~1.2 GB of KV at the 9216-token
+# protocol, measured ~730 GB/s — near the chip's roofline. Halving weight
+# bytes is the only decode lever left. int4 needs finer scales than int8's
+# per-output-channel to hold quality: scales are per (input-group x output
+# channel), group 128 along the contraction axis (GPTQ/AWQ-style RTN
+# grouping). Two int4 values pack per int8 byte, split-half along the
+# input axis (byte i holds rows i and i+in/2 — concat beats nibble
+# interleave for XLA fusion). lm_head stays int8 by default (read once
+# per token, logits are precision-sensitive).
+#
+# The reference has no quantization at all; this is net-new TPU serving
+# capability, opt-in until real-weight accuracy is measured
+# (tools/gate_w8a8.py --wq int4 reports the proxy logit error).
+
+INT4_GROUP = 128
+INT4_TARGETS = (
+    "q_proj", "k_proj", "v_proj", "o_proj",
+    "gate_proj", "up_proj", "down_proj",
+)
+
+
+def _int4_group(in_dim: int, group_size: int) -> int:
+    g = min(group_size, in_dim)
+    while in_dim % g:
+        g //= 2
+    return max(g, 1)
+
+
+def quantize_kernel_int4(kernel: jnp.ndarray,
+                         group_size: int = INT4_GROUP) -> Dict[str, jnp.ndarray]:
+    """[in, out] kernel -> {kernel_q4 int8 [in/2, out], scale4 f32 [in/g, out]}."""
+    inn, out = kernel.shape
+    assert inn % 2 == 0, f"int4 packing needs an even input dim, got {inn}"
+    g = _int4_group(inn, group_size)
+    k = kernel.astype(jnp.float32).reshape(inn // g, g, out)
+    absmax = jnp.max(jnp.abs(k), axis=1)                      # [n_g, out]
+    scale = jnp.maximum(absmax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(k / scale[:, None, :]), -7, 7)
+    q = q.astype(jnp.int8).reshape(inn, out)
+    lo, hi = q[: inn // 2], q[inn // 2:]
+    packed = jnp.bitwise_or(
+        jnp.bitwise_and(lo, jnp.int8(0x0F)),
+        jnp.left_shift(hi, 4).astype(jnp.int8),
+    )
+    return {"kernel_q4": packed, "scale4": scale.astype(jnp.float32)}
+
+
+def dequantize_kernel_int4(qparams: Dict[str, jnp.ndarray],
+                           dtype=jnp.float32) -> jnp.ndarray:
+    """Exact inverse of the pack (up to the RTN rounding): [in, out]."""
+    packed = qparams["kernel_q4"]
+    scale = qparams["scale4"]
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)   # sign-extend low nibble
+    hi = jnp.right_shift(packed, 4)                      # arithmetic: high nibble
+    q = jnp.concatenate([lo, hi], axis=0)                # [in, out]
+    inn, out = q.shape
+    n_g = scale.shape[0]
+    w = q.astype(dtype).reshape(n_g, inn // n_g, out)
+    w = w * scale[:, None, :].astype(dtype)
+    return w.reshape(inn, out)
+
+
+def quant_matmul_int4(x: jnp.ndarray,
+                      qparams: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """x [..., in] @ dequant4(kernel) -> [..., out].
+
+    The unpack (two shifts + concat) and group-scale multiply fuse into
+    the dot's operand load under XLA; HBM reads the packed nibbles.
+    Operands stay in x.dtype (bf16 on TPU) — the MXU runs at full bf16
+    rate (forcing f32 operands measured at a fraction of it, CLAUDE.md)."""
+    w = dequantize_kernel_int4(qparams, dtype=x.dtype)
+    y = jnp.einsum("...i,io->...o", x, w,
+                   preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
+
+
+def quantize_llm_params_int4(
+    llm_params: Dict[str, Any],
+    group_size: int = INT4_GROUP,
+    targets=INT4_TARGETS,
+    lm_head_int8: bool = True,
+) -> Dict[str, Any]:
+    """int4 (group-wise) for ``targets``; lm_head int8 per-channel unless
+    ``lm_head_int8=False`` (then int4 too). Accepts a raw OR int8 tree —
+    int8 entries in ``targets`` are NOT re-quantized (convert from raw)."""
+
+    def walk(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                if k in targets and "kernel" in v:
+                    out[k] = quantize_kernel_int4(v["kernel"], group_size)
+                elif k == "lm_head" and "kernel" in v:
+                    if lm_head_int8:
+                        absmax = jnp.max(jnp.abs(v["kernel"]), axis=0)
+                        scale = jnp.maximum(absmax, 1e-8) / 127.0
+                        q = jnp.clip(jnp.round(v["kernel"] / scale),
+                                     -127, 127).astype(jnp.int8)
+                        out[k] = {"kernel_q": q,
+                                  "scale": scale.astype(jnp.float32)}
+                    else:
+                        out[k] = quantize_kernel_int4(v["kernel"], group_size)
+                else:
+                    out[k] = walk(v)
+            else:
+                out[k] = v
+        return out
+
+    return walk(llm_params)
 
 
 # -- SmoothQuant-style activation smoothing ----------------------------------

@@ -79,3 +79,17 @@ class CheckpointManager:
             self.logger.info(f"Loading checkpoint from {path}")
         target = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state)
         return self._ckpt.restore(path, target=target)
+
+    def load_saved(self, path: str) -> Any:
+        """Restore a checkpoint in its own saved structure (no template).
+
+        Needed when the on-disk tree legitimately differs from any
+        in-memory template — e.g. quantized QA weight dirs whose layers
+        hold ``kernel_q``/``kernel_q4``+scales instead of ``kernel``
+        (tools/convert_weights.py qa --quantize). Returns None if absent.
+        """
+        if not path or not os.path.exists(path):
+            return None
+        if self.logger:
+            self.logger.info(f"Loading checkpoint (saved structure) from {path}")
+        return self._ckpt.restore(path)
