@@ -306,6 +306,144 @@ def test_stacked_kv_cache_matches_list(monkeypatch, tiny_engine):
         )
 
 
+def test_kv_int8_quantize_roundtrip():
+    """quantize_kv/dequantize_kv: one absmax scale per K/V vector bounds
+    the reconstruction error at scale/2 = absmax/254 per element, and
+    all-zero (unwritten cache) rows stay exactly zero."""
+    import jax.numpy as jnp
+
+    from vgqa_tpu.qa.llm import dequantize_kv, quantize_kv
+
+    rng = np.random.RandomState(0)
+    t = jnp.asarray(rng.randn(2, 3, 5, 16).astype(np.float32) * 3.0)
+    q, s = quantize_kv(t)
+    assert q.dtype == jnp.int8 and s.shape == (2, 3, 5)
+    back = np.asarray(dequantize_kv(q, s, jnp.float32))
+    amax = np.max(np.abs(np.asarray(t)), axis=-1, keepdims=True)
+    assert np.all(np.abs(back - np.asarray(t)) <= amax / 254.0 + 1e-6)
+    zq, zs = quantize_kv(jnp.zeros((1, 4)))
+    assert np.all(np.asarray(dequantize_kv(zq, zs, jnp.float32)) == 0)
+
+
+def test_kv_int8_decode_logits_close(tiny_engine):
+    """A decode step reading the int8 KV cache must track the full-
+    precision-cache logits closely (per-token absmax scales, factored out
+    of the attention dots in llm_functional). The prefill logits
+    themselves are computed BEFORE the cache write, so they must match
+    exactly."""
+    import jax.numpy as jnp
+
+    from vgqa_tpu.qa.llm import init_kv_cache
+
+    eng = tiny_engine
+    ids = np.array([[7, 20, 33, 90, 17, 3, 56, 2]], np.int32)
+    L = ids.shape[1]
+    embeds = eng.embed.apply(
+        {"params": eng.params["embed"]}, jnp.asarray(ids)
+    )
+    ref_cache = init_kv_cache(eng.llm_cfg, 1, L + 4, jnp.float32)
+    ref_last, ref_cache = eng._prefill(
+        eng.params, embeds, jnp.asarray(L), ref_cache
+    )
+    q_cache = init_kv_cache(eng.llm_cfg, 1, L + 4, quant="int8")
+    q_last, q_cache = eng._prefill(
+        eng.params, embeds, jnp.asarray(L), q_cache
+    )
+    np.testing.assert_allclose(
+        np.asarray(q_last), np.asarray(ref_last), atol=2e-4
+    )
+
+    tok = jnp.asarray([5], jnp.int32)
+    pos = jnp.asarray(L, jnp.int32)
+    r_logits, _ = eng._decode_step(eng.params, ref_cache, tok, pos)
+    q_logits, _ = eng._decode_step(eng.params, q_cache, tok, pos)
+    r, q = np.asarray(r_logits, np.float64), np.asarray(q_logits, np.float64)
+    rel = np.linalg.norm(q - r) / np.linalg.norm(r)
+    assert rel < 0.02, f"int8-KV decode logits diverge: rel L2 {rel:.4f}"
+
+
+def test_kv_int8_chat_and_batch(monkeypatch):
+    """VGQA_KV_INT8=1: solo chat and lockstep batched chat run end-to-end
+    on the int8 cache; a batched row reproduces the int8 solo answer
+    (identical per-row quantized write/read math); the cache footprint
+    shrinks (1 + 4/hd bytes per element vs 2 — at the production hd=128
+    that is 0.52x, which is what lets batch=8 KV rows fit one v5e's HBM
+    next to the 7.7 GB int8 weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vgqa_tpu.qa.llm import init_kv_cache
+
+    monkeypatch.setenv("VGQA_KV_INT8", "1")
+    eng = QAEngine.init_random(LLMConfig.tiny(), ViTConfig.tiny())
+    assert eng._kv_quant == "int8"
+    s = eng.vit_cfg.image_size
+    rng = np.random.RandomState(3)
+    reqs = [
+        (rng.randint(0, 256, (1, s, s, 3), dtype=np.uint8), "what moves?"),
+        (rng.randint(0, 256, (2, s, s, 3), dtype=np.uint8),
+         "describe the scene", [1, 1]),
+    ]
+    g = GenerationConfig(max_new_tokens=6, do_sample=False)
+    solo = [
+        eng.chat(r[0], r[1], g,
+                 num_patches_list=list(r[2]) if len(r) > 2 else None)
+        for r in reqs
+    ]
+    assert all(isinstance(a, str) for a in solo)
+    assert eng.chat_batch(reqs, g) == solo
+
+    nbytes = lambda c: sum(  # noqa: E731
+        x.size * x.dtype.itemsize for x in jax.tree.leaves(c)
+    )
+    bf16 = init_kv_cache(eng.llm_cfg, 8, 256, jnp.bfloat16)
+    q8 = init_kv_cache(eng.llm_cfg, 8, 256, quant="int8")
+    # tiny hd=16 -> 0.625x; production hd=128 -> 0.52x
+    assert nbytes(q8) < 0.7 * nbytes(bf16)
+
+
+def test_kv_int8_chunked_prefill_fills_same_cache(tiny_engine):
+    """Chunked prefill writes the int8 cache through llm_forward's
+    in-forward write path (each chunk quantizes at its offset); one-shot
+    prefill through the engine's copy path. Both must place the same
+    values at the same positions — compared dequantized against the
+    full-precision reference cache (later layers drift slightly because
+    chunked attention READS quantized earlier chunks, so the bound is
+    loose; misplaced writes or swapped scales would blow it up)."""
+    import copy
+
+    import jax.numpy as jnp
+
+    from vgqa_tpu.qa.llm import dequantize_kv, init_kv_cache
+
+    eng = copy.copy(tiny_engine)
+    eng.PREFILL_CHUNK = 8
+    ids = np.random.RandomState(0).randint(8, 200, (1, 32)).astype(np.int32)
+    embeds = eng.embed.apply(
+        {"params": eng.params["embed"]}, jnp.asarray(ids)
+    )
+    length = 27
+    ref = init_kv_cache(eng.llm_cfg, 1, 40, jnp.float32)
+    _, ref = eng._prefill_impl(eng.params, embeds, jnp.asarray(length), ref)
+    q = init_kv_cache(eng.llm_cfg, 1, 40, quant="int8")
+    _, q = eng._prefill_chunked_impl(
+        eng.params, embeds, jnp.asarray(length), q
+    )
+    for (rk, rv), ent in zip(ref, q):
+        dk = np.asarray(dequantize_kv(ent["kq"], ent["ks"], jnp.float32))
+        dv = np.asarray(dequantize_kv(ent["vq"], ent["vs"], jnp.float32))
+        np.testing.assert_allclose(
+            dk[:, :, :length], np.asarray(rk)[:, :, :length], atol=0.05
+        )
+        np.testing.assert_allclose(
+            dv[:, :, :length], np.asarray(rv)[:, :, :length], atol=0.05
+        )
+        # positions past the PADDED prompt remain unwritten zeros (the
+        # pad rows length..Lp are written by the chunked pass but masked
+        # at read, exactly like the bf16 layouts)
+        assert np.all(dk[:, :, embeds.shape[1]:] == 0)
+
+
 def test_chat_batch_matches_sequential(tiny_engine):
     """Lockstep batched decode must reproduce each request's solo greedy
     answer (per-row cache positions, per-row stop) even with different

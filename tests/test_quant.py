@@ -303,6 +303,25 @@ def test_int4_gate_production_width():
     assert len(r["int4_vs_raw"]) == 2
 
 
+def test_kv_int8_gate_production_width():
+    """run_gate_kv_int8 at production hidden width, shallow for CPU
+    runtime: the factored-scale int8-KV attention must match the
+    explicitly-dequantized cache (implementation soundness) AND the
+    first-decode-step logit error vs the exact bf16 cache must sit under
+    the 5% bound — per-vector absmax KV quantization is far gentler than
+    weight quantization. tools/gate_w8a8.py --wq kv8 runs this at depth."""
+    from vgqa_tpu.qa.gate_w8a8 import run_gate_kv_int8
+    from vgqa_tpu.qa.llm import LLMConfig
+
+    cfg = LLMConfig(vocab_size=2048, num_layers=1, max_seq_len=256)
+    r = run_gate_kv_int8(cfg, n_prompts=2, prompt_len=48, new_tokens=8)
+    assert r["criteria"]["impl_rel_err<=0.005"], r["impl_rel_err_vs_dequant"]
+    assert r["criteria"]["first_step_logit_rel_err<=0.05"], (
+        r["first_step_logit_rel_err"])
+    assert r["pass"] is True
+    assert len(r["results"]) == 2
+
+
 def test_int4_memory_shrinks_vs_int8():
     from vgqa_tpu.qa.quant import quantize_llm_params_int4
 

@@ -142,6 +142,13 @@ def main():
                          "(engine.set_stacked_kv). Runs e2e both arms; "
                          "--batch-sweep sizes run on the STACKED arm (the "
                          "list-layout batch numbers are in BASELINE.md)")
+    ap.add_argument("--ab-kv-int8", action="store_true",
+                    help="A/B the int8 KV cache in-process: bf16 cache vs "
+                         "int8+per-token-scale cache (engine.set_kv_int8). "
+                         "Runs e2e both arms; --batch-sweep sizes run on "
+                         "the INT8 arm (bf16-cache batch numbers are in "
+                         "BASELINE.md; int8 rows halve the KV footprint, "
+                         "so batch=8 fits HBM)")
     ap.add_argument("--quant-only", action="store_true",
                     help="skip the bf16 pass (8B-class bf16 exceeds one "
                          "v5e's 16 GB HBM; int8 fits)")
@@ -259,6 +266,20 @@ def main():
                 vs += st["vision_s"] / 4
             print(f"vision chunks={ck}: {vs:.3f} s "
                   f"({args.frames} tiles)", flush=True)
+        return
+
+    if args.ab_kv_int8:
+        # in-process KV-dtype A/B (one chip session -> comparable): the
+        # prefill/decode jits retrace on the new cache pytree (int8
+        # entries are dicts); params untouched
+        for kv8 in (False, True):
+            engine.set_kv_int8(kv8)
+            run(engine, tiles, args.frames, args.max_new,
+                f"{args.wq} kv_int8={int(kv8)} ")
+        if args.batch_sweep:
+            sizes = [int(b) for b in args.batch_sweep.split(",")]
+            print("batch sweep on the int8-KV cache:", flush=True)
+            bench_batches(engine, tiles, args.frames, args.max_new, sizes)
         return
 
     if args.ab_stacked_kv:

@@ -48,17 +48,19 @@ def main(argv=None):
                         "convert without --quantize; the gate smooths and "
                         "quantizes itself): gate REAL weights instead of "
                         "the random proxy")
-    p.add_argument("--wq", choices=("w8a8", "int4"), default="w8a8",
+    p.add_argument("--wq", choices=("w8a8", "int4", "kv8"), default="w8a8",
                    help="which quantized path to gate: the default-on "
-                        "W8A8 prefill, or the opt-in int4 group-wise "
+                        "W8A8 prefill, the opt-in int4 group-wise "
                         "decode weights (reports int4's logit error "
-                        "relative to the shipped int8 default)")
+                        "relative to the shipped int8 default), or the "
+                        "opt-in int8 KV cache (VGQA_KV_INT8)")
     p.add_argument("--group-size", type=int, default=128,
                    help="int4 contraction-axis group size (--wq int4)")
     p.add_argument("--out", default="")
     args = p.parse_args(argv)
     if not args.out:
-        args.out = "GATE_INT4.json" if args.wq == "int4" else "GATE_W8A8.json"
+        args.out = {"int4": "GATE_INT4.json", "kv8": "GATE_KV8.json"}.get(
+            args.wq, "GATE_W8A8.json")
 
     import jax.numpy as jnp
 
@@ -90,6 +92,14 @@ def main(argv=None):
             new_tokens=args.new_tokens, dtype=jnp.bfloat16, seed=args.seed,
             params=params, smooth=not args.no_smooth,
             smooth_alpha=args.alpha, group_size=args.group_size,
+        )
+    elif args.wq == "kv8":
+        from vgqa_tpu.qa.gate_w8a8 import run_gate_kv_int8
+
+        result = run_gate_kv_int8(
+            cfg, n_prompts=args.prompts, prompt_len=args.prompt_len,
+            new_tokens=args.new_tokens, dtype=jnp.bfloat16, seed=args.seed,
+            params=params,
         )
     else:
         result = run_gate(

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .llm import (LLM, LLMConfig, TokenEmbedding, init_kv_cache,
-                  kv_cache_stacked, kv_seq_len)
+                  kv_cache_quantized, kv_cache_stacked, kv_seq_len,
+                  quantize_kv)
 from .vit import ViTConfig, VisionTower
 
 
@@ -171,6 +172,17 @@ class QAEngine:
         # on the stacked layout too. Kept off: a layout knob with no
         # measured win.
         self._stacked_kv = _os.environ.get("VGQA_STACKED_KV", "0") == "1"
+        # VGQA_KV_INT8=1: int8-quantized KV cache (llm.init_kv_cache
+        # quant="int8") — per-token absmax scales written alongside int8
+        # K/V, scales factored out of the attention dots at read time
+        # (llm_functional). Halves the per-step KV HBM read and the cache
+        # footprint: at the 32-frame protocol a bf16 cache row is ~1.2 GB,
+        # so batch=8 rows (9.7 GB) + 7.7 GB int8 weights exceed one v5e's
+        # HBM — int8 rows (4.9 GB) fit. Default off pending the on-chip
+        # accuracy/throughput measurement (tools/bench_qa.py --ab-kv-int8).
+        self._kv_quant = (
+            "int8" if _os.environ.get("VGQA_KV_INT8", "0") == "1" else None
+        )
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(3,))
         self._prefill_chunked = jax.jit(self._prefill_chunked_impl,
                                         donate_argnums=(3,))
@@ -212,6 +224,12 @@ class QAEngine:
         only the row-insert's axis is baked into a closure and rebuilt."""
         self._stacked_kv = bool(flag)
         self._build_insert_cache_row()
+
+    def set_kv_int8(self, flag: bool):
+        """Switch the int8-KV cache on/off in process (bench A/Bs). The
+        prefill/decode jits retrace automatically on the new cache pytree
+        (int8 entries are dicts, bf16 entries tuples)."""
+        self._kv_quant = "int8" if flag else None
 
     # -- params init (random; converters fill real weights) ----------------
     @classmethod
@@ -257,6 +275,22 @@ class QAEngine:
             w8a8=self._w8a8_prefill,
         )
         # copy prefill kv into the persistent cache
+        if kv_cache_quantized(cache):
+            filled = []
+            for ent, (nk, nv) in zip(cache, new_cache):
+                kq, ks = quantize_kv(nk)
+                vq, vs = quantize_kv(nv)
+                filled.append({
+                    "kq": jax.lax.dynamic_update_slice(
+                        ent["kq"], kq, (0, 0, 0, 0)),
+                    "ks": jax.lax.dynamic_update_slice(
+                        ent["ks"], ks, (0, 0, 0)),
+                    "vq": jax.lax.dynamic_update_slice(
+                        ent["vq"], vq, (0, 0, 0, 0)),
+                    "vs": jax.lax.dynamic_update_slice(
+                        ent["vs"], vs, (0, 0, 0)),
+                })
+            return logits[:, 0], filled
         if kv_cache_stacked(cache):
             nk = jnp.stack([k for k, _ in new_cache]).astype(cache[0].dtype)
             nv = jnp.stack([v for _, v in new_cache]).astype(cache[1].dtype)
@@ -714,7 +748,8 @@ class QAEngine:
             )
 
         cache = init_kv_cache(self.llm_cfg, 1, max_total, self.dtype,
-                              stacked=self._stacked_kv)
+                              stacked=self._stacked_kv,
+                              quant=self._kv_quant)
         if chunked:
             # long prompts (e.g. 32-frame QA, ~8.7k tokens): chunked
             # prefill bounds transient attention logits at [H, CK, S]
@@ -843,7 +878,7 @@ class QAEngine:
         # row caches + the 7.7 GB int8 weights would exceed one v5e's HBM)
         batch_cache = init_kv_cache(
             self.llm_cfg, len(prepped), max_total, self.dtype,
-            stacked=self._stacked_kv,
+            stacked=self._stacked_kv, quant=self._kv_quant,
         )
         first_rows, lengths = [], []
         for i, (vision_tokens, ids, img_positions, length) in enumerate(
@@ -858,7 +893,8 @@ class QAEngine:
                     vision_tokens.astype(self.dtype)
                 )
             cache = init_kv_cache(self.llm_cfg, 1, max_total, self.dtype,
-                                  stacked=self._stacked_kv)
+                                  stacked=self._stacked_kv,
+                                  quant=self._kv_quant)
             fn = self._prefill_chunked if chunked else self._prefill
             logits, cache = fn(self.params, embeds, jnp.asarray(length),
                                cache)

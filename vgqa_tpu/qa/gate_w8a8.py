@@ -312,6 +312,194 @@ def run_gate(
     return out
 
 
+@partial(jax.jit, static_argnums=(1, 4, 5, 6))
+def _prefill_and_decode_kv(params, cfg: LLMConfig, embeds, length,
+                           new_tokens: int, kv_mode: str, dtype):
+    """Prefill exactly, then greedy-decode through one of three KV-cache
+    regimes (``kv_mode`` static):
+
+    * ``"exact"``  — dense ``dtype`` cache (the shipped default),
+    * ``"int8"``   — the int8+per-token-scale cache the serving engine
+      uses under VGQA_KV_INT8 (factored-scale attention dots),
+    * ``"dequant"``— the SAME quantized values explicitly dequantized to
+      a dense f32 cache read through the normal path: differs from
+      ``"int8"`` only by the factored-scale implementation, so comparing
+      the two isolates implementation error from quantization error.
+
+    Returns (tokens [new_tokens], per-step logits [new_tokens, V] f32).
+    """
+    from .llm import quantize_kv
+    from .llm_functional import embed_tokens
+
+    Lp = embeds.shape[1]
+    S = Lp + new_tokens
+    KVH, hd = cfg.num_kv_heads, cfg.head_dim
+
+    pos = jnp.arange(Lp)[None]
+    idx = jnp.arange(Lp)
+    mask = (idx[None, :, None] >= idx[None, None, :]) & (
+        idx[None, None, :] < length
+    )
+    logits, kv = llm_forward(
+        params, cfg, embeds, pos, mask, lm_head_rows=(length - 1)[None],
+    )
+
+    if kv_mode == "exact":
+        cache = [
+            (
+                jnp.zeros((1, KVH, S, hd), dtype)
+                .at[:, :, :Lp].set(k.astype(dtype)),
+                jnp.zeros((1, KVH, S, hd), dtype)
+                .at[:, :, :Lp].set(v.astype(dtype)),
+            )
+            for k, v in kv
+        ]
+    else:
+        cache = []
+        for k, v in kv:
+            kq, ks = quantize_kv(k)
+            vq, vs = quantize_kv(v)
+            ent = {
+                "kq": jnp.zeros((1, KVH, S, hd), jnp.int8)
+                .at[:, :, :Lp].set(kq),
+                "ks": jnp.zeros((1, KVH, S), jnp.float32)
+                .at[:, :, :Lp].set(ks),
+                "vq": jnp.zeros((1, KVH, S, hd), jnp.int8)
+                .at[:, :, :Lp].set(vq),
+                "vs": jnp.zeros((1, KVH, S), jnp.float32)
+                .at[:, :, :Lp].set(vs),
+            }
+            cache.append(ent)
+        if kv_mode == "dequant":
+            from .llm import dequantize_kv
+
+            cache = [
+                (
+                    dequantize_kv(e["kq"], e["ks"], jnp.float32),
+                    dequantize_kv(e["vq"], e["vs"], jnp.float32),
+                )
+                for e in cache
+            ]
+
+    def step(carry, _):
+        cache, logits, position = carry
+        next_id = jnp.argmax(logits[0, 0]).astype(jnp.int32)
+        embeds = embed_tokens(params, cfg, next_id[None, None])
+        mask = (jnp.arange(S)[None, None, :] <= position)
+        new_logits, new_cache = llm_forward(
+            params, cfg, embeds.astype(dtype), position[None, None],
+            mask, cache=cache, cache_index=position,
+        )
+        return ((new_cache, new_logits, position + 1),
+                (next_id, new_logits[0, 0].astype(jnp.float32)))
+
+    init = (cache, logits, length.astype(jnp.int32))
+    _, (tokens, step_logits) = jax.lax.scan(
+        step, init, None, length=new_tokens)
+    return tokens, step_logits
+
+
+def run_gate_kv_int8(
+    cfg: LLMConfig,
+    n_prompts: int = 4,
+    prompt_len: int = 96,
+    new_tokens: int = 64,
+    dtype=jnp.bfloat16,
+    seed: int = 0,
+    params: Dict[str, Any] | None = None,
+) -> Dict[str, Any]:
+    """Accuracy gate for the int8 KV cache (opt-in, ``VGQA_KV_INT8=1``).
+
+    Weights stay UNQUANTIZED here so the measurement isolates KV-cache
+    error (the serving engine composes int8 weights + int8 KV, but their
+    errors are independent mechanisms). Criteria:
+
+    1. **implementation soundness** (pass/fail on any weights) — the
+       factored-scale attention over int8 buffers must match the normal
+       attention over the explicitly dequantized cache on the FIRST
+       decode step (same quantized values, two code paths) to <=0.5%,
+       compared in f32 — in bf16 the two paths round (probs*vs) vs probs
+       in different places, adding ~1% of noise unrelated to the
+       implementation; a swapped scale axis or misplaced write blows
+       this up to >=50% in any dtype,
+    2. **first-step logit error bound** — int8-KV vs exact-KV first
+       decode step <=5% max rel err (per-vector absmax KV quantization
+       measures well under this; only the first step compares cleanly —
+       later steps condition on possibly-different tokens),
+    3. with REAL weights (``params=``): strict greedy token match, which
+       peaked trained logits support (random-proxy logits are near-flat,
+       module docstring).
+    """
+    from .llm_functional import embed_tokens
+
+    real_weights = params is not None
+    raw = params if real_weights else build_outlier_llm(cfg, seed)
+    rng = np.random.RandomState(seed + 1)
+    prompts = [rng.randint(0, cfg.vocab_size, size=(1, prompt_len))
+               for _ in range(n_prompts)]
+
+    rows = []
+    for ids in prompts:
+        embeds = embed_tokens(raw, cfg, jnp.asarray(ids)).astype(dtype)
+        length = jnp.asarray(ids.shape[1], jnp.int32)
+        tok_e, log_e = _prefill_and_decode_kv(
+            raw, cfg, embeds, length, new_tokens, "exact", dtype)
+        tok_q, log_q = _prefill_and_decode_kv(
+            raw, cfg, embeds, length, new_tokens, "int8", dtype)
+        tok_e, tok_q = np.asarray(tok_e), np.asarray(tok_q)
+        e0 = np.asarray(log_e[0], np.float32)
+        q0 = np.asarray(log_q[0], np.float32)
+        scale = max(np.abs(e0).max(), 1e-6)
+        rows.append({
+            "tokens_matched": int((tok_e == tok_q).cumprod().sum()),
+            "tokens_total": int(new_tokens),
+            "first_step_logit_rel_err": float(
+                np.abs(q0 - e0).max() / scale),
+        })
+
+    # implementation soundness in f32 (docstring criterion 1): the SAME
+    # quantized cache read through the factored-scale path vs explicitly
+    # dequantized — one step is enough, later steps condition on tokens
+    emb0 = embed_tokens(raw, cfg, jnp.asarray(prompts[0]))
+    len0 = jnp.asarray(prompts[0].shape[1], jnp.int32)
+    _, li = _prefill_and_decode_kv(
+        raw, cfg, emb0.astype(jnp.float32), len0, 1, "int8", jnp.float32)
+    _, ld = _prefill_and_decode_kv(
+        raw, cfg, emb0.astype(jnp.float32), len0, 1, "dequant", jnp.float32)
+    li0 = np.asarray(li[0], np.float32)
+    ld0 = np.asarray(ld[0], np.float32)
+    impl = float(np.abs(li0 - ld0).max() / max(np.abs(ld0).max(), 1e-6))
+
+    err = max(r["first_step_logit_rel_err"] for r in rows)
+    match = all(r["tokens_matched"] == r["tokens_total"] for r in rows)
+    out: Dict[str, Any] = {
+        "geometry": {
+            "hidden": cfg.hidden_size, "layers": cfg.num_layers,
+            "heads": f"{cfg.num_heads}/{cfg.num_kv_heads} (GQA)",
+            "intermediate": cfg.intermediate_size, "vocab": cfg.vocab_size,
+        },
+        "protocol": {
+            "kv": "int8 per-token absmax", "n_prompts": n_prompts,
+            "prompt_len": prompt_len, "new_tokens": new_tokens,
+            "weights": "supplied (STRICT token-match criterion)"
+                       if real_weights else
+                       "random outlier-realistic (calibrated criteria)",
+        },
+        "results": rows,
+        "impl_rel_err_vs_dequant": impl,
+        "first_step_logit_rel_err": err,
+        "greedy_match": match,
+    }
+    out["criteria"] = {
+        "impl_rel_err<=0.005": impl <= 0.005,
+        "first_step_logit_rel_err<=0.05": err <= 0.05,
+    }
+    if real_weights:
+        out["criteria"]["strict_greedy_match"] = match
+    out["pass"] = bool(all(out["criteria"].values()))
+    return out
+
+
 def run_gate_int4(
     cfg: LLMConfig,
     n_prompts: int = 4,

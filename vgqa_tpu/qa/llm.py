@@ -192,8 +192,8 @@ class TokenEmbedding(nn.Module):
 
 
 def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
-                  stacked: bool = False):
-    """KV cache in one of two layouts (llm_forward accepts either):
+                  stacked: bool = False, quant: str = None):
+    """KV cache in one of three layouts (llm_forward accepts any):
 
     * list of per-layer ([B, KVH, S, hd], [B, KVH, S, hd]) pairs — the
       default. A 32-layer decode program carries 2*nL separate buffers.
@@ -203,7 +203,28 @@ def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
       (the QA batch=4 decode failed deterministically in that service with
       the 64-buffer carry, BASELINE.md r4). Layer reads/writes use static
       layer indices, so the compiled math is identical.
+    * ``quant="int8"``: list of per-layer dicts
+      {kq int8 [B, KVH, S, hd], ks f32 [B, KVH, S], vq, vs} — each token's
+      K/V head vector is absmax-quantized at write time and the scales are
+      factored OUT of the attention dots at read time (llm_forward), so
+      the per-step HBM read of the cache halves. At the 32-frame QA
+      protocol a cache row is ~1.2 GB bf16; int8 makes batch=8 rows +
+      the 7.7 GB int8 weights fit one v5e's 16 GB HBM.
     """
+    if quant == "int8":
+        assert not stacked, "int8 KV uses the per-layer list layout"
+        kv = (batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+        sc = (batch, cfg.num_kv_heads, max_len)
+        return [
+            {
+                "kq": jnp.zeros(kv, jnp.int8),
+                "ks": jnp.zeros(sc, jnp.float32),
+                "vq": jnp.zeros(kv, jnp.int8),
+                "vs": jnp.zeros(sc, jnp.float32),
+            }
+            for _ in range(cfg.num_layers)
+        ]
+    assert quant is None, quant
     if stacked:
         shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len,
                  cfg.head_dim)
@@ -217,13 +238,43 @@ def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
     ]
 
 
+def quantize_kv(t: jnp.ndarray):
+    """Absmax int8 quantization of K/V vectors along the LAST axis.
+
+    ``t`` [..., hd] -> (int8 [..., hd], f32 scale [...]): one scale per
+    token-head vector. Exactly invertible up to the 1/254 rounding step;
+    unwritten all-zero cache rows quantize to zeros with the floor scale.
+    """
+    t32 = t.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(t32), axis=-1), 1e-6) / 127.0
+    q = jnp.clip(jnp.round(t32 / s[..., None]), -127, 127)
+    return q.astype(jnp.int8), s
+
+
+def dequantize_kv(q: jnp.ndarray, s: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Inverse of :func:`quantize_kv` (used by paths that need a dense
+    K/V operand, e.g. the flash prefill kernel)."""
+    return (q.astype(jnp.float32) * s[..., None]).astype(dtype)
+
+
+def kv_cache_quantized(cache) -> bool:
+    """True for the int8-quantized per-layer dict layout."""
+    return (
+        isinstance(cache, (list, tuple))
+        and len(cache) > 0
+        and isinstance(cache[0], dict)
+    )
+
+
 def kv_cache_stacked(cache) -> bool:
     """True for the stacked ([nL, B, KVH, S, hd], ...) layout."""
     return isinstance(cache, tuple) and hasattr(cache[0], "shape")
 
 
 def kv_seq_len(cache) -> int:
-    """Static sequence capacity S of either cache layout (no traced ops)."""
+    """Static sequence capacity S of any cache layout (no traced ops)."""
     if kv_cache_stacked(cache):
         return cache[0].shape[3]
+    if kv_cache_quantized(cache):
+        return cache[0]["kq"].shape[2]
     return cache[0][0].shape[2]

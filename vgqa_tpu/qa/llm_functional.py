@@ -14,7 +14,8 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .llm import LLMConfig, apply_rope, kv_cache_stacked, rotary_embedding
+from .llm import (LLMConfig, apply_rope, dequantize_kv, kv_cache_stacked,
+                  quantize_kv, rotary_embedding)
 from .quant import quant_matmul, quant_matmul_int4, quant_matmul_w8a8
 
 
@@ -106,6 +107,7 @@ def llm_forward(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
+        ent = None  # set on the int8-KV path; attention reads branch on it
         if stacked:
             # one [nL, B, KVH, S, hd] buffer per side: layer index i is
             # STATIC, so each write is a dynamic_update_slice into the
@@ -129,6 +131,48 @@ def llm_forward(
                 ck_all = jax.lax.dynamic_update_slice(ck_all, k_t[None], start)
                 cv_all = jax.lax.dynamic_update_slice(cv_all, v_t[None], start)
             keys, values = ck_all[i], cv_all[i]
+        elif cache is not None and isinstance(cache[i], dict):
+            # int8 KV cache (llm.init_kv_cache quant="int8"): quantize this
+            # step's K/V vectors at write time — one absmax scale per
+            # token-head vector — and keep the persistent buffers int8, so
+            # every later attention read streams half the bytes. The
+            # scales are factored OUT of the dots below (q·(kq*ks) ==
+            # ks*(q·kq)), so the dequant multiply never materializes a
+            # dense bf16 cache in HBM.
+            ent = dict(cache[i])
+            kq, ks = quantize_kv(k.transpose(0, 2, 1, 3))  # [B,KVH,L,*]
+            vq, vs = quantize_kv(v.transpose(0, 2, 1, 3))
+            if jnp.ndim(cache_index) == 1:
+                # batched decode: each row writes at ITS OWN position
+                upd4 = jax.vmap(
+                    lambda c, u, ix: jax.lax.dynamic_update_slice(
+                        c, u, (0, ix, 0)
+                    )
+                )
+                upd3 = jax.vmap(
+                    lambda c, u, ix: jax.lax.dynamic_update_slice(
+                        c, u, (0, ix)
+                    )
+                )
+                ent["kq"] = upd4(ent["kq"], kq, cache_index)
+                ent["ks"] = upd3(ent["ks"], ks, cache_index)
+                ent["vq"] = upd4(ent["vq"], vq, cache_index)
+                ent["vs"] = upd3(ent["vs"], vs, cache_index)
+            else:
+                ent["kq"] = jax.lax.dynamic_update_slice(
+                    ent["kq"], kq, (0, 0, cache_index, 0)
+                )
+                ent["ks"] = jax.lax.dynamic_update_slice(
+                    ent["ks"], ks, (0, 0, cache_index)
+                )
+                ent["vq"] = jax.lax.dynamic_update_slice(
+                    ent["vq"], vq, (0, 0, cache_index, 0)
+                )
+                ent["vs"] = jax.lax.dynamic_update_slice(
+                    ent["vs"], vs, (0, 0, cache_index)
+                )
+            keys = values = None  # attention reads go through `ent`
+            new_cache.append(ent)
         elif cache is not None:
             ck, cv = cache[i]
             k_t = k.transpose(0, 2, 1, 3)
@@ -161,6 +205,12 @@ def llm_forward(
             from ..ops.pallas.flash_attention import flash_gqa_causal
 
             assert B == 1, "flash prefill is single-sequence"
+            if ent is not None:
+                # dense bf16 K/V operands for the kernel (one transient
+                # [KVH, S, hd] per side per layer — chunked prefill is
+                # compute-bound, so the extra HBM round-trip is a few %)
+                keys = dequantize_kv(ent["kq"], ent["ks"], x.dtype)
+                values = dequantize_kv(ent["vq"], ent["vs"], x.dtype)
             qf = q[0].transpose(1, 0, 2)                 # [H, L, hd]
             ctxf = flash_gqa_causal(
                 qf, keys[0], values[0],
@@ -175,16 +225,36 @@ def llm_forward(
             qh = q.transpose(0, 2, 1, 3).reshape(
                 B, cfg.num_kv_heads, group, L, hd
             )
-            logits = jnp.einsum(
-                "bkgld,bksd->bkgls", qh, keys,
-                preferred_element_type=jnp.float32,
-            ) / jnp.sqrt(hd).astype(jnp.float32)
-            logits = jnp.where(attn_mask[:, None, None], logits, -1e30)
-            probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-            ctx = jnp.einsum(
-                "bkgls,bksd->bkgld", probs, values,
-                preferred_element_type=jnp.float32,
-            ).astype(x.dtype)
+            if ent is not None:
+                # int8 KV: factor the per-token scales OUT of both dots —
+                # q·(kq*ks) == ks*(q·kq) and sum_s p_s*(vq_s*vs_s) ==
+                # sum_s (p_s*vs_s)*vq_s — so the MXU streams the int8
+                # buffers directly (the int8->bf16 convert fuses into the
+                # dot operand read; a pre-multiplied dense cache would
+                # round-trip a bf16 copy through HBM and erase the win)
+                logits = jnp.einsum(
+                    "bkgld,bksd->bkgls", qh, ent["kq"].astype(qh.dtype),
+                    preferred_element_type=jnp.float32,
+                ) * ent["ks"][:, :, None, None, :]
+                logits = logits / jnp.sqrt(hd).astype(jnp.float32)
+                logits = jnp.where(attn_mask[:, None, None], logits, -1e30)
+                probs = jax.nn.softmax(logits, axis=-1)
+                pv = (probs * ent["vs"][:, :, None, None, :]).astype(x.dtype)
+                ctx = jnp.einsum(
+                    "bkgls,bksd->bkgld", pv, ent["vq"].astype(x.dtype),
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
+            else:
+                logits = jnp.einsum(
+                    "bkgld,bksd->bkgls", qh, keys,
+                    preferred_element_type=jnp.float32,
+                ) / jnp.sqrt(hd).astype(jnp.float32)
+                logits = jnp.where(attn_mask[:, None, None], logits, -1e30)
+                probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+                ctx = jnp.einsum(
+                    "bkgls,bksd->bkgld", probs, values,
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
             ctx = ctx.reshape(B, cfg.num_heads, L, hd).transpose(0, 2, 1, 3)
             ctx = ctx.reshape(B, L, cfg.num_heads * hd)
         x = x + _dense(ctx, p["o_proj"], w8a8)
