@@ -271,12 +271,17 @@ def test_stacked_kv_cache_matches_list(monkeypatch, tiny_engine):
          "describe the scene", [1, 1]),
     ]
     g = GenerationConfig(max_new_tokens=6, do_sample=False)
-    base_solo = tiny_engine.chat(reqs[0][0], reqs[0][1], g)
-    base_batch = tiny_engine.chat_batch(reqs, g)
+    # the bit-identity claim is vs the bf16 per-layer LIST layout — pin
+    # the base engine to it (int8 KV is the default otherwise)
+    monkeypatch.setenv("VGQA_KV_INT8", "0")
+    base = QAEngine.init_random(LLMConfig.tiny(), ViTConfig.tiny())
+    base_solo = base.chat(reqs[0][0], reqs[0][1], g)
+    base_batch = base.chat_batch(reqs, g)
 
     monkeypatch.setenv("VGQA_STACKED_KV", "1")
+    monkeypatch.delenv("VGQA_KV_INT8", raising=False)
     eng = QAEngine.init_random(LLMConfig.tiny(), ViTConfig.tiny())
-    assert eng._stacked_kv
+    assert eng._stacked_kv and eng._kv_quant is None
     assert eng.chat(reqs[0][0], reqs[0][1], g) == base_solo
     assert eng.chat_batch(reqs, g) == base_batch
 

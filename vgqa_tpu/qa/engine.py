@@ -26,7 +26,7 @@ import numpy as np
 
 from .llm import (LLM, LLMConfig, TokenEmbedding, init_kv_cache,
                   kv_cache_quantized, kv_cache_stacked, kv_seq_len,
-                  quantize_kv)
+                  quantize_kv, quantize_kv_cache)
 from .vit import ViTConfig, VisionTower
 
 
@@ -178,10 +178,22 @@ class QAEngine:
         # (llm_functional). Halves the per-step KV HBM read and the cache
         # footprint: at the 32-frame protocol a bf16 cache row is ~1.2 GB,
         # so batch=8 rows (9.7 GB) + 7.7 GB int8 weights exceed one v5e's
-        # HBM — int8 rows (4.9 GB) fit. Default off pending the on-chip
-        # accuracy/throughput measurement (tools/bench_qa.py --ab-kv-int8).
+        # HBM — int8 rows (4.9 GB) fit. MEASURED r4 (BASELINE.md): decode
+        # 86.2 vs 82.9 tok/s AND it unlocks batch=4 lockstep decode (44.4
+        # tok/s aggregate, 1.40x) — the bf16 64-buffer [4,8,9216,128]
+        # decode program failed deterministically in the remote compile
+        # service. Prefill stays on the bf16 path; the cache is quantized
+        # ONCE post-prefill (llm.quantize_kv_cache — write-time int8 cost
+        # the chunked flash prefill ~0.15 s/call). Default ON, accuracy-
+        # gated by tools/gate_w8a8.py --wq kv8; VGQA_KV_INT8=0 reverts.
+        kv8_env = _os.environ.get("VGQA_KV_INT8", "")
+        assert not (self._stacked_kv and kv8_env == "1"), (
+            "VGQA_STACKED_KV and VGQA_KV_INT8 are mutually exclusive "
+            "(int8 KV uses the per-layer list layout)"
+        )
+        # int8 by default; an explicit stacked opt-in implies bf16
         self._kv_quant = (
-            "int8" if _os.environ.get("VGQA_KV_INT8", "0") == "1" else None
+            "int8" if kv8_env != "0" and not self._stacked_kv else None
         )
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(3,))
         self._prefill_chunked = jax.jit(self._prefill_chunked_impl,
@@ -197,6 +209,10 @@ class QAEngine:
         self._greedy_batch = jax.jit(
             self._greedy_batch_impl, static_argnums=(5,), donate_argnums=(1,)
         )
+        # one-pass bf16 -> int8 cache conversion, run between prefill and
+        # decode (prefill itself always rides the fast bf16-KV path; the
+        # donated bf16 cache is freed as the int8 layout is written)
+        self._quantize_cache = jax.jit(quantize_kv_cache, donate_argnums=(0,))
         # move one prefilled [1, ...] cache into row `i` of the [B, ...]
         # batch cache in place (batch donated; the row can't alias a
         # [B, ...] output, so donating it would only warn): chat_batch's
@@ -221,15 +237,22 @@ class QAEngine:
     def set_stacked_kv(self, flag: bool):
         """Switch the KV-cache layout in process (bench A/Bs). The
         prefill/decode jits retrace automatically on the new cache pytree;
-        only the row-insert's axis is baked into a closure and rebuilt."""
+        only the row-insert's axis is baked into a closure and rebuilt.
+        Stacked is bf16-only, so it clears the int8-KV flag."""
         self._stacked_kv = bool(flag)
+        if flag:
+            self._kv_quant = None
         self._build_insert_cache_row()
 
     def set_kv_int8(self, flag: bool):
         """Switch the int8-KV cache on/off in process (bench A/Bs). The
         prefill/decode jits retrace automatically on the new cache pytree
-        (int8 entries are dicts, bf16 entries tuples)."""
+        (int8 entries are dicts, bf16 entries tuples). int8 uses the
+        per-layer list layout, so it clears the stacked flag."""
         self._kv_quant = "int8" if flag else None
+        if flag and self._stacked_kv:
+            self._stacked_kv = False
+            self._build_insert_cache_row()
 
     # -- params init (random; converters fill real weights) ----------------
     @classmethod
@@ -747,9 +770,12 @@ class QAEngine:
                 vision_tokens.astype(self.dtype)
             )
 
+        # prefill always rides the bf16-KV path (write-time int8 cost the
+        # chunked flash prefill ~0.15 s: per-chunk dequant of the whole
+        # cache for the kernel + quantize-at-write); int8 decode caches
+        # are produced by ONE post-prefill conversion pass instead
         cache = init_kv_cache(self.llm_cfg, 1, max_total, self.dtype,
-                              stacked=self._stacked_kv,
-                              quant=self._kv_quant)
+                              stacked=self._stacked_kv)
         if chunked:
             # long prompts (e.g. 32-frame QA, ~8.7k tokens): chunked
             # prefill bounds transient attention logits at [H, CK, S]
@@ -760,6 +786,8 @@ class QAEngine:
             logits, cache = self._prefill(
                 self.params, embeds, jnp.asarray(length), cache
             )
+        if self._kv_quant == "int8":
+            cache = self._quantize_cache(cache)
         if return_stats:
             float(logits[0, 0])  # fence
             stats["prefill_s"] = _time.time() - t0
@@ -892,12 +920,15 @@ class QAEngine:
                 embeds = embeds.at[0, jnp.asarray(img_positions)].set(
                     vision_tokens.astype(self.dtype)
                 )
+            # row prefill on the bf16 path; convert to int8 only when
+            # moving the row into the int8 batch cache (see chat())
             cache = init_kv_cache(self.llm_cfg, 1, max_total, self.dtype,
-                                  stacked=self._stacked_kv,
-                                  quant=self._kv_quant)
+                                  stacked=self._stacked_kv)
             fn = self._prefill_chunked if chunked else self._prefill
             logits, cache = fn(self.params, embeds, jnp.asarray(length),
                                cache)
+            if self._kv_quant == "int8":
+                cache = self._quantize_cache(cache)
             batch_cache = self._insert_cache_row(
                 batch_cache, cache, jnp.asarray(i, jnp.int32)
             )

@@ -257,6 +257,22 @@ def dequantize_kv(q: jnp.ndarray, s: jnp.ndarray, dtype) -> jnp.ndarray:
     return (q.astype(jnp.float32) * s[..., None]).astype(dtype)
 
 
+def quantize_kv_cache(cache):
+    """bf16 per-layer list cache -> the int8 dict layout, in one pass.
+
+    Lets prefill run entirely on the fast bf16-KV path (no per-chunk
+    dequant for the flash kernel, no quantize-at-write) and pay for int8
+    ONCE before decode: a single read of the bf16 cache + half-size write
+    (~3 ms for a 1.2 GB row at HBM rate) vs the ~0.15 s prefill tax of
+    writing int8 during the chunked flash prefill (measured r4,
+    BASELINE.md). K/V values are identical to write-time quantization —
+    the same vectors get the same per-token absmax scales."""
+    return [
+        dict(zip(("kq", "ks", "vq", "vs"), quantize_kv(ck) + quantize_kv(cv)))
+        for ck, cv in cache
+    ]
+
+
 def kv_cache_quantized(cache) -> bool:
     """True for the int8-quantized per-layer dict layout."""
     return (
