@@ -42,10 +42,11 @@ def _free_port() -> int:
     ids=["dp4", "dp2sp2"],
 )
 def test_two_process_train_and_eval(tmp_path, sp):
-    """sp=2 would additionally prove sequence parallelism under the REAL
+    """sp=2 additionally proves sequence parallelism under the REAL
     multi-process runtime: mesh (dp=2, sp=2), each video's frame axis
-    split across a process-local sp pair (currently skipped — see the
-    param mark)."""
+    split across a process-local sp pair (unskipped since r4 —
+    warmup_mesh_communicators serializes gloo communicator formation,
+    parallel/distributed.py)."""
     from vgqa_tpu.data.synthetic import make_synthetic_dataset
 
     data_dir = str(tmp_path / "data")

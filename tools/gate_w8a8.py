@@ -53,7 +53,8 @@ def main(argv=None):
                         "W8A8 prefill, the opt-in int4 group-wise "
                         "decode weights (reports int4's logit error "
                         "relative to the shipped int8 default), or the "
-                        "opt-in int8 KV cache (VGQA_KV_INT8)")
+                        "default-on int8 KV cache (VGQA_KV_INT8=0 "
+                        "opts out)")
     p.add_argument("--group-size", type=int, default=128,
                    help="int4 contraction-axis group size (--wq int4)")
     p.add_argument("--out", default="")

@@ -178,22 +178,26 @@ class QAEngine:
         # (llm_functional). Halves the per-step KV HBM read and the cache
         # footprint: at the 32-frame protocol a bf16 cache row is ~1.2 GB,
         # so batch=8 rows (9.7 GB) + 7.7 GB int8 weights exceed one v5e's
-        # HBM — int8 rows (4.9 GB) fit. MEASURED r4 (BASELINE.md): decode
-        # 86.2 vs 82.9 tok/s AND it unlocks batch=4 lockstep decode (44.4
-        # tok/s aggregate, 1.40x) — the bf16 64-buffer [4,8,9216,128]
-        # decode program failed deterministically in the remote compile
-        # service. Prefill stays on the bf16 path; the cache is quantized
-        # ONCE post-prefill (llm.quantize_kv_cache — write-time int8 cost
-        # the chunked flash prefill ~0.15 s/call). Default ON, accuracy-
-        # gated by tools/gate_w8a8.py --wq kv8; VGQA_KV_INT8=0 reverts.
+        # HBM — int8 rows (4.9 GB) fit. MEASURED r4 (BASELINE.md "int8 KV
+        # cache" row): decode 86.2 vs 82.9 tok/s AND it unlocks batch=4
+        # lockstep decode (44.4 tok/s aggregate, 1.40x) — the bf16
+        # 64-buffer [4,8,9216,128] decode program failed deterministically
+        # in the remote compile service. Prefill stays on the bf16 path;
+        # the cache is quantized ONCE post-prefill (llm.quantize_kv_cache
+        # — write-time int8 cost the chunked flash prefill ~0.15 s/call).
+        # Default ON, accuracy-gated by tools/gate_w8a8.py --wq kv8;
+        # VGQA_KV_INT8=0 reverts.
         kv8_env = _os.environ.get("VGQA_KV_INT8", "")
-        assert not (self._stacked_kv and kv8_env == "1"), (
-            "VGQA_STACKED_KV and VGQA_KV_INT8 are mutually exclusive "
-            "(int8 KV uses the per-layer list layout)"
-        )
+        kv8_requested = kv8_env.strip().lower() not in ("0", "false", "off")
+        kv8_explicit = kv8_requested and kv8_env != ""
+        if self._stacked_kv and kv8_explicit:
+            raise ValueError(
+                "VGQA_STACKED_KV and VGQA_KV_INT8 are mutually exclusive "
+                "(int8 KV uses the per-layer list layout)"
+            )
         # int8 by default; an explicit stacked opt-in implies bf16
         self._kv_quant = (
-            "int8" if kv8_env != "0" and not self._stacked_kv else None
+            "int8" if kv8_requested and not self._stacked_kv else None
         )
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(3,))
         self._prefill_chunked = jax.jit(self._prefill_chunked_impl,

@@ -408,7 +408,8 @@ def run_gate_kv_int8(
     seed: int = 0,
     params: Dict[str, Any] | None = None,
 ) -> Dict[str, Any]:
-    """Accuracy gate for the int8 KV cache (opt-in, ``VGQA_KV_INT8=1``).
+    """Accuracy gate for the int8 KV cache (ON by default since r4;
+    ``VGQA_KV_INT8=0`` opts out).
 
     Weights stay UNQUANTIZED here so the measurement isolates KV-cache
     error (the serving engine composes int8 weights + int8 KV, but their

@@ -265,8 +265,13 @@ def quantize_kv_cache(cache):
     ONCE before decode: a single read of the bf16 cache + half-size write
     (~3 ms for a 1.2 GB row at HBM rate) vs the ~0.15 s prefill tax of
     writing int8 during the chunked flash prefill (measured r4,
-    BASELINE.md). K/V values are identical to write-time quantization —
-    the same vectors get the same per-token absmax scales."""
+    BASELINE.md). For a ONE-SHOT prefill the values match write-time
+    quantization exactly (same vectors, same per-token absmax scales);
+    under CHUNKED prefill the write-time path feeds dequantized int8 K/V
+    into later chunks' attention, so later-chunk K/V drift slightly —
+    this post-prefill conversion quantizes the exact bf16 values and is
+    the (slightly) more accurate scheme (see
+    tests/test_quant.py::test_kv_int8_chunked_prefill_fills_same_cache)."""
     return [
         dict(zip(("kq", "ks", "vq", "vs"), quantize_kv(ck) + quantize_kv(cv)))
         for ck, cv in cache
