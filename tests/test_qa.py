@@ -788,3 +788,114 @@ def test_plan_prefill_chunk_alignment(tiny_engine):
         assert Lp >= length and Lp <= eng.max_seq_len
         if chunked:
             assert Lp % eng.PREFILL_CHUNK == 0
+
+
+# -- I420 (YUV) tile upload path ---------------------------------------------
+def _i420_to_rgb_host(planes, s, full_range):
+    """Reference BT.601 conversion, numpy f32 — the same arithmetic
+    engine._vision_apply_yuv runs fused on device."""
+    npx, nc = s * s, (s // 2) * (s // 2)
+    n = planes.shape[0]
+    y = planes[:, :npx].reshape(n, s, s).astype(np.float32)
+    u = planes[:, npx:npx + nc].reshape(n, s // 2, s // 2).astype(np.float32)
+    v = planes[:, npx + nc:].reshape(n, s // 2, s // 2).astype(np.float32)
+    u = np.repeat(np.repeat(u, 2, 1), 2, 2) - 128.0
+    v = np.repeat(np.repeat(v, 2, 1), 2, 2) - 128.0
+    if full_range:
+        yl, cr, gu, gv, bu = y, 1.402, 0.344136, 0.714136, 1.772
+    else:
+        yl = 1.1643835616 * (y - 16.0)
+        cr, gu, gv, bu = 1.5960267857, 0.3917622768, 0.8129676339, 2.0172321429
+    r = yl + cr * v
+    g = yl - gu * u - gv * v
+    b = yl + bu * u
+    return np.clip(np.stack([r, g, b], -1), 0.0, 255.0)
+
+
+@pytest.mark.parametrize("full_range", [False, True])
+def test_yuv_tiles_match_host_conversion(tiny_engine, full_range):
+    """YUVTiles through _encode_vision must equal the vision tower fed
+    the host-converted + normalized float tiles (the conversion is a pure
+    upload-format transform; both ranges ride ONE compiled program via the
+    traced full_range scalar)."""
+    from vgqa_tpu.qa import YUVTiles
+    from vgqa_tpu.qa.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+    eng = tiny_engine
+    s = eng.vit_cfg.image_size
+    n = 3
+    planes = np.random.RandomState(11).randint(
+        0, 256, (n, s * s * 3 // 2), dtype=np.uint8
+    )
+    rgb = _i420_to_rgb_host(planes, s, full_range)
+    ref_tiles = (rgb / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    want = np.asarray(eng._vision_fn(eng.params, ref_tiles.astype(np.float32)))
+    got = np.asarray(eng._encode_vision(YUVTiles(planes, full_range)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_yuv_tiles_chunked_matches_single_shot(tiny_engine):
+    """The chunked put/dispatch interleave must be a pure perf transform
+    on the I420 path too (prefix chunks + ragged remainder)."""
+    from vgqa_tpu.qa import YUVTiles
+
+    eng = tiny_engine
+    s = eng.vit_cfg.image_size
+    planes = np.random.RandomState(13).randint(
+        0, 256, (5, s * s * 3 // 2), dtype=np.uint8
+    )
+    tiles = YUVTiles(planes, full_range=False)
+    old = eng._vision_chunk
+    try:
+        eng._vision_chunk = 0
+        one = np.asarray(eng._encode_vision(tiles))
+        eng._vision_chunk = 2
+        chunked = np.asarray(eng._encode_vision(tiles))
+    finally:
+        eng._vision_chunk = old
+    np.testing.assert_allclose(chunked, one, rtol=1e-6, atol=1e-6)
+
+
+def test_chat_yuv_tiles_generates(tiny_engine):
+    """chat() accepts a YUVTiles batch end-to-end (stats shape plumbing
+    included) and answers deterministically under greedy decoding."""
+    from vgqa_tpu.qa import YUVTiles
+
+    eng = tiny_engine
+    s = eng.vit_cfg.image_size
+    planes = np.random.RandomState(17).randint(
+        0, 256, (2, s * s * 3 // 2), dtype=np.uint8
+    )
+    tiles = YUVTiles(planes, full_range=False)
+    g = GenerationConfig(max_new_tokens=6, do_sample=False)
+    a1, st = eng.chat(tiles, "what?", g, num_patches_list=[1, 1],
+                      return_stats=True)
+    a2 = eng.chat(tiles, "what?", g, num_patches_list=[1, 1])
+    assert a1 == a2
+    assert st["vision_tiles"] == 2
+
+
+def test_load_video_tiles_yuv_close_to_rgb(tmp_path):
+    """The native scaled-I420 loader must agree with the RGB tile loader
+    up to colorspace/chroma rounding and the YUV-vs-RGB resize trade
+    (documented in load_video_tiles_yuv)."""
+    from vgqa_tpu.data.synthetic import write_synthetic_video
+    from vgqa_tpu.data.video_io import _load_native
+    from vgqa_tpu.qa.preprocess import load_video_tiles, load_video_tiles_yuv
+
+    if _load_native() is None:
+        pytest.skip("native decoder not built")
+    video = str(tmp_path / "v.mp4")
+    write_synthetic_video(video, 40, (64, 48), seed=5)
+    out = load_video_tiles_yuv(video, input_size=32, num_segments=4)
+    assert out is not None
+    tiles_yuv, npl = out
+    assert npl == [1, 1, 1, 1]
+    assert tiles_yuv.shape == (4, 32 * 32 * 3 // 2)
+    rgb_from_yuv = _i420_to_rgb_host(
+        np.asarray(tiles_yuv.planes), 32, tiles_yuv.full_range)
+    tiles_rgb, npl_rgb = load_video_tiles(video, input_size=32, max_num=1,
+                                          num_segments=4)
+    assert npl_rgb == npl
+    diff = np.abs(rgb_from_yuv - tiles_rgb.astype(np.float32)).mean()
+    assert diff < 12.0, diff  # same content, different scaler + 4:2:0

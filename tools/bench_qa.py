@@ -132,6 +132,10 @@ def main():
     ap.add_argument("--ab-vision-chunks", type=int, default=0,
                     help="A/B the vision phase only: single-shot vs this "
                          "chunk size, one process (comparable timings)")
+    ap.add_argument("--ab-yuv-tiles", action="store_true",
+                    help="A/B the vision-phase tile upload: RGB uint8 "
+                         "tiles vs I420 planes (half the bytes) with "
+                         "on-device BT.601, one process (engine.YUVTiles)")
     ap.add_argument("--ab-vit-flash", action="store_true",
                     help="A/B the ViT attention op in the vision phase: "
                          "XLA einsum vs the Pallas flash kernel, one "
@@ -221,6 +225,38 @@ def main():
     tiles = np.random.RandomState(0).randint(
         0, 256, (args.frames, 448, 448, 3), dtype=np.uint8
     )
+
+    if args.ab_yuv_tiles:
+        # in-process A/B of the tile upload format: the same source tiles
+        # ride (a) RGB uint8 [n, S, S, 3] and (b) I420 planes
+        # [n, S*S*3//2] with the fused on-device BT.601 + normalize
+        # (engine.YUVTiles). Half the upload bytes; the vision phase is
+        # host-serialization-bound (BASELINE.md r4: 0.733 s at 32 tiles,
+        # 0.402 s device compute).
+        import cv2
+
+        from vgqa_tpu.qa import GenerationConfig, YUVTiles
+
+        planes = np.stack([
+            cv2.cvtColor(t, cv2.COLOR_RGB2YUV_I420).reshape(-1)
+            for t in tiles
+        ])
+        gen = GenerationConfig(max_new_tokens=8, do_sample=False,
+                               ignore_eos=True)
+        patches = [1] * args.frames
+        for label, arg in (("rgb", tiles),
+                           ("i420", YUVTiles(planes, full_range=True))):
+            engine.chat(arg, "warm", gen, num_patches_list=patches)
+            vs = 0.0
+            for i in range(4):
+                _, st = engine.chat(
+                    arg, f"q{i}?", gen, num_patches_list=patches,
+                    return_stats=True,
+                )
+                vs += st["vision_s"] / 4
+            print(f"vision tiles={label}: {vs:.3f} s "
+                  f"({args.frames} tiles)", flush=True)
+        return
 
     if args.ab_vit_flash:
         # in-process A/B of the ViT attention op (identical params; the

@@ -22,8 +22,26 @@ import jax.numpy as jnp
 
 from ..qa.engine import GenerationConfig, QAEngine
 from ..qa.llm import LLMConfig
-from ..qa.preprocess import load_video_tiles
+from ..qa.preprocess import load_video_tiles, load_video_tiles_yuv
 from ..qa.vit import ViTConfig
+
+
+def _load_tiles(video_path, bound, input_size, max_num, num_segments):
+    """Tile loader for serving: I420 planes when the native decoder can
+    emit them (half the upload bytes; engine converts on device —
+    VGQA_QA_YUV=0 forces RGB), RGB tiles otherwise. The YUV path covers
+    only the max_num=1 video protocol (one stretched tile per frame)."""
+    if max_num == 1 and os.environ.get("VGQA_QA_YUV", "1") != "0":
+        out = load_video_tiles_yuv(
+            video_path, bound=bound, input_size=input_size,
+            num_segments=num_segments,
+        )
+        if out is not None:
+            return out
+    return load_video_tiles(
+        video_path, bound=bound, input_size=input_size, max_num=max_num,
+        num_segments=num_segments,
+    )
 
 DEFAULT_MODEL_DIR = "checkpoints/qa/InternVideo2_5_Chat_8B"
 
@@ -125,12 +143,12 @@ def predict(
 
     engine = _load_engine(model_dir)
     tile_size = engine.vit_cfg.image_size  # tiny engine uses small tiles
-    tiles, num_patches_list = load_video_tiles(
+    tiles, num_patches_list = _load_tiles(
         video_path,
-        bound=bound,
-        input_size=tile_size if input_size == 448 else input_size,
-        max_num=max_num,
-        num_segments=num_frames,
+        bound,
+        tile_size if input_size == 448 else input_size,
+        max_num,
+        num_frames,
     )
     gen = GenerationConfig(
         max_new_tokens=max_new_tokens,
@@ -177,12 +195,12 @@ def predict_many(
             if not os.path.exists(path):
                 raise FileNotFoundError(f"Video not found: {path}")
             input_size = int(req.get("input_size", 448))
-            tiles, num_patches_list = load_video_tiles(
+            tiles, num_patches_list = _load_tiles(
                 path,
-                bound=req.get("bound"),
-                input_size=tile_size if input_size == 448 else input_size,
-                max_num=int(req.get("max_num", 1)),
-                num_segments=int(req.get("num_frames", 32)),
+                req.get("bound"),
+                tile_size if input_size == 448 else input_size,
+                int(req.get("max_num", 1)),
+                int(req.get("num_frames", 32)),
             )
             # pre-validate the prompt so an over-long request fails its own
             # slot here rather than raising out of chat_batch and failing

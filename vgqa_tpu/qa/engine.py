@@ -73,6 +73,37 @@ def _bucket(n: int, minimum: int = 64) -> int:
     return b
 
 
+class YUVTiles:
+    """I420-plane tile batch for the vision tower.
+
+    ``planes`` is [n_tiles, S*S*3//2] uint8 (Y then U then V per tile,
+    S = the ViT image size); ``full_range`` selects JPEG- vs MPEG-range
+    BT.601 coefficients for the on-device conversion. HALF the bytes of
+    RGB uint8 tiles — the QA vision phase is host-serialization-bound on
+    remote links (BASELINE.md r4: 0.733 s at 32 tiles of which only
+    0.402 s is device compute), so the upload byte count is the lever.
+    Mirrors the grounding path's I420 serving upload
+    (inference/grounding.py fwd_yuv). Produced by
+    ``qa.preprocess.load_video_tiles_yuv`` (native decoder emits scaled
+    I420 directly); replaces the reference's host RGB tiling for the
+    max_num=1 video protocol (/root/reference/vgqa/inference/qa.py:70-120,
+    one stretched SxS tile per frame)."""
+
+    __slots__ = ("planes", "full_range")
+
+    def __init__(self, planes, full_range: bool = False):
+        self.planes = planes
+        self.full_range = bool(full_range)
+
+    @property
+    def shape(self):
+        return self.planes.shape
+
+    @property
+    def dtype(self):
+        return self.planes.dtype
+
+
 class QAEngine:
     def __init__(
         self,
@@ -132,6 +163,7 @@ class QAEngine:
         self.num_image_token = int((g * vit_cfg.downsample_ratio) ** 2)
 
         self._vision_fn = jax.jit(self._vision_apply)
+        self._vision_yuv_fn = jax.jit(self._vision_apply_yuv)
         # VGQA_VISION_CHUNKS>0: split the tile batch into fixed-size
         # chunks, interleaving put and dispatch (put c0, dispatch c0,
         # put c1, ...) so chunk k+1's host-side upload serialization runs
@@ -674,6 +706,41 @@ class QAEngine:
             tiles = tiles.astype(self.dtype) * scale + bias
         return self.vision.apply({"params": p["vision"]}, tiles)
 
+    def _vision_apply_yuv(self, p, planes, full_range):
+        """I420 planes [n, S*S*3//2] uint8 -> vision tokens.
+
+        BT.601 conversion (nearest 2x2 chroma upsample, matching
+        swscale's unscaled yuv420p->rgb block sharing) + ImageNet
+        normalization run FUSED on device, so the host uploads half the
+        RGB bytes. Same coefficient structure as the grounding serving
+        path (inference/grounding.py fwd_yuv); ``full_range`` is a traced
+        0-d bool selecting limited (MPEG) vs full (JPEG) range, so one
+        compiled program serves both source types."""
+        S = self.vit_cfg.image_size
+        npx, nc = S * S, (S // 2) * (S // 2)
+        n = planes.shape[0]
+        y = planes[:, :npx].reshape(n, S, S).astype(jnp.float32)
+        u = planes[:, npx:npx + nc].reshape(
+            n, S // 2, S // 2).astype(jnp.float32)
+        v = planes[:, npx + nc:].reshape(
+            n, S // 2, S // 2).astype(jnp.float32)
+        u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2) - 128.0
+        v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2) - 128.0
+        fr = full_range
+        yl = jnp.where(fr, y, 1.1643835616 * (y - 16.0))
+        r = yl + jnp.where(fr, 1.402, 1.5960267857) * v
+        g = (yl - jnp.where(fr, 0.344136, 0.3917622768) * u
+             - jnp.where(fr, 0.714136, 0.8129676339) * v)
+        b = yl + jnp.where(fr, 1.772, 2.0172321429) * u
+        rgb = jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+        from .preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+        scale = jnp.asarray(1.0 / (255.0 * IMAGENET_STD), jnp.float32)
+        bias = jnp.asarray(-IMAGENET_MEAN / IMAGENET_STD, jnp.float32)
+        tiles = (rgb * scale + bias).astype(self.dtype)
+        return self.vision.apply({"params": p["vision"]}, tiles)
+
     def set_vit_flash(self, flash: bool) -> None:
         """Swap the ViT attention op (XLA einsum <-> Pallas flash kernel)
         in place and re-jit the vision fn. Parameters are untouched — the
@@ -685,6 +752,7 @@ class QAEngine:
         self.vit_cfg = _dc.replace(self.vit_cfg, flash=flash)
         self.vision = VisionTower(self.vit_cfg)
         self._vision_fn = jax.jit(self._vision_apply)
+        self._vision_yuv_fn = jax.jit(self._vision_apply_yuv)
 
     def _encode_vision(self, tiles) -> jnp.ndarray:
         """Upload host tiles and run the vision tower -> [n_tiles, tok, D].
@@ -699,7 +767,24 @@ class QAEngine:
         chunk k+1's host serialization runs under chunk k's ViT compute.
         A batch that does not divide evenly chunks the divisible prefix
         and runs the remainder as a final (smaller) part — one extra
-        compiled shape, but the knob never silently no-ops (advisor r3)."""
+        compiled shape, but the knob never silently no-ops (advisor r3).
+
+        ``YUVTiles`` batches ride the same chunked interleave with the
+        I420 planes (half the upload bytes) and the fused on-device
+        BT.601 conversion (:meth:`_vision_apply_yuv`)."""
+        if isinstance(tiles, YUVTiles):
+            planes = tiles.planes
+            fr = jnp.asarray(tiles.full_range)
+            n = planes.shape[0]
+            ck = self._vision_chunk
+            if ck <= 0 or n <= ck:
+                return self._vision_yuv_fn(
+                    self.params, jnp.asarray(planes), fr)
+            outs = []
+            for i in range(0, n, ck):
+                part = jnp.asarray(planes[i:i + ck])
+                outs.append(self._vision_yuv_fn(self.params, part, fr))
+            return jnp.concatenate(outs, axis=0)
         n = tiles.shape[0]
         ck = self._vision_chunk
         if tiles.dtype != np.uint8 or ck <= 0 or n <= ck:

@@ -112,3 +112,38 @@ def load_video_tiles(
         tiles_list.append(normalize_tiles(tiles) if normalized else tiles)
         num_patches.append(tiles.shape[0])
     return np.concatenate(tiles_list, axis=0), num_patches
+
+
+def load_video_tiles_yuv(
+    video_path: str,
+    bound: Optional[Tuple[float, float]] = None,
+    input_size: int = 448,
+    num_segments: int = 32,
+):
+    """I420-plane variant of :func:`load_video_tiles` for the max_num=1
+    video protocol (one stretched SxS tile per frame — the reference's
+    num_segments path, qa.py:199).
+
+    The native decoder scales each sampled frame to ``input_size`` x
+    ``input_size`` INSIDE its swscale pass and emits planar YUV420P, so
+    the host never materializes RGB and the device upload carries half
+    the RGB bytes; ``QAEngine`` converts + normalizes on device
+    (engine.YUVTiles). Scaling happens in YUV space with swscale's
+    bicubic rather than cv2's INTER_CUBIC on RGB — the same documented
+    trade the grounding serving path makes (inference/grounding.py).
+
+    Returns ``(YUVTiles, num_patches_list)`` or ``None`` when the native
+    decoder is unavailable or the size is odd (caller falls back to the
+    RGB :func:`load_video_tiles`)."""
+    from ..data.video_io import (frame_indices_with_bound, read_frames_yuv,
+                                 video_info)
+    from .engine import YUVTiles
+
+    total, fps, _, _ = video_info(video_path)
+    ids = frame_indices_with_bound(bound, fps, total - 1, num_segments)
+    ids = [int(i) for i in np.clip(ids, 0, total - 1)]
+    out = read_frames_yuv(video_path, ids, size=(input_size, input_size))
+    if out is None:
+        return None
+    planes, full_range = out
+    return YUVTiles(planes, full_range), [1] * len(ids)
