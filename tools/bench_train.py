@@ -44,6 +44,10 @@ def main():
                     help="time the step with the per-leaf optax grad clip "
                          "AND clip_by_global_norm_flat in one process "
                          "(two compiles, comparable timings)")
+    ap.add_argument("--ab-bucket-clip", action="store_true",
+                    help="time the step with the per-leaf optax grad clip "
+                         "AND clip_by_global_norm_bucketed (small leaves "
+                         "concat, big leaves per-leaf) in one process")
     ap.add_argument("--ab-flash-train", action="store_true",
                     help="time the step with the XLA einsum encoder "
                          "attention AND the differentiable flash kernel "
@@ -134,6 +138,14 @@ def main():
         for flat in ("0", "1"):
             os.environ["VGQA_FLAT_CLIP"] = flat
             build_and_time(f"[flat_clip={flat}] ")
+        return
+
+    if args.ab_bucket_clip:
+        import os
+
+        for impl in ("optax", "bucket"):
+            os.environ["VGQA_CLIP_IMPL"] = impl
+            build_and_time(f"[clip={impl}] ")
         return
 
     if args.ab_flash_train:

@@ -137,6 +137,55 @@ def clip_by_global_norm_flat(max_norm: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def clip_by_global_norm_bucketed(
+    max_norm: float, small_bytes: int = 1 << 20
+) -> optax.GradientTransformation:
+    """Global-norm clip with a HYBRID squared-sum reduction.
+
+    The r4 profile split the clip cost two ways: ~33 ms/step of 444
+    per-leaf scalar reductions (each tiny grad's reduction underutilizes
+    the chip) AND the measured flat-clip failure — concatenating ALL
+    leaves into one 0.7 GB vector costs more in copies than the scalar
+    reductions it removes (343 vs 272 ms/step, BASELINE.md). The copies
+    are the big leaves' fault and the reduction count is the small
+    leaves' fault, so split by size:
+
+    * leaves whose f32 raveled form is <= ``small_bytes`` (the hundreds
+      of biases/LN vectors/small projections) concatenate into ONE small
+      vector — cheap copies, one well-tiled reduction;
+    * the few large matmul grads keep per-leaf ``sum(x*x)`` reductions —
+      no copies, and a big dense reduction is already efficient.
+
+    The partial sums add into one scalar; scale semantics match optax
+    (`max_norm / max(norm, max_norm)`, zero-norm safe)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        leaves = jax.tree.leaves(updates)
+        small = [u for u in leaves if 4 * u.size <= small_bytes]
+        big = [u for u in leaves if 4 * u.size > small_bytes]
+        parts = [
+            jnp.sum(jnp.square(u.astype(jnp.float32))) for u in big
+        ]
+        if small:
+            flat = jnp.concatenate(
+                [jnp.ravel(u).astype(jnp.float32) for u in small]
+            )
+            parts.append(jnp.sum(flat * flat))
+        g_norm = jnp.sqrt(jnp.sum(jnp.stack(parts)))
+        scale = max_norm / jnp.maximum(g_norm, max_norm)
+        updates = jax.tree.map(
+            lambda u: u * scale.astype(u.dtype), updates
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(
     cfg, params, max_iter: int
 ) -> Tuple[optax.GradientTransformation, Any]:
@@ -174,16 +223,29 @@ def make_optimizer(
         # full-tree norm was the only consumer of e.g. the frozen Video
         # Swin tower's gradients — worth ~100+ ms/step at 64f@420).
         trainable = jax.tree.map(lambda g: g != "frozen", labels)
-        # VGQA_FLAT_CLIP=1 swaps in clip_by_global_norm_flat (single
-        # concatenated reduction). MEASURED SLOWER at 64f@420 bf16:
-        # 343 ms/step vs 272-274 for the per-leaf optax clip (2026-08-19,
-        # time-bracketed runs) — the 444-leaf concatenate costs more than
-        # the 444 scalar reductions it replaces. Kept for A/B only.
+        # VGQA_CLIP_IMPL selects the squared-sum reduction strategy
+        # (VGQA_FLAT_CLIP=1 is the legacy spelling of "flat"):
+        #   optax  — per-leaf scalar reductions (444 fusions, ~33 ms/step
+        #            at 64f@420, r4 profile)
+        #   flat   — ONE concatenated vector. MEASURED SLOWER: 343 vs
+        #            272-274 ms/step (2026-08-19) — the 444-leaf 0.7 GB
+        #            concatenate costs more than the reductions it
+        #            removes. Kept for A/B only.
+        #   bucket — hybrid: small leaves concat into one vector, big
+        #            leaves keep per-leaf reductions (the copies were the
+        #            big leaves' fault, the reduction count the small
+        #            leaves') — bench_train --ab-bucket-clip.
         import os as _os
 
-        clip = (clip_by_global_norm_flat(s.MAX_GRAD_NORM)
-                if _os.environ.get("VGQA_FLAT_CLIP") == "1"
-                else optax.clip_by_global_norm(s.MAX_GRAD_NORM))
+        impl = _os.environ.get("VGQA_CLIP_IMPL", "")
+        if not impl:
+            impl = "flat" if _os.environ.get("VGQA_FLAT_CLIP") == "1" \
+                else "optax"
+        clip = {
+            "flat": clip_by_global_norm_flat,
+            "bucket": clip_by_global_norm_bucketed,
+            "optax": optax.clip_by_global_norm,
+        }[impl](s.MAX_GRAD_NORM)
         tx = optax.chain(optax.masked(clip, trainable), tx)
     return tx, labels
 
