@@ -156,13 +156,43 @@ def quant_matmul_int4(x: jnp.ndarray,
                       qparams: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     """x [..., in] @ dequant4(kernel) -> [..., out].
 
-    The unpack (two shifts + concat) and group-scale multiply fuse into
-    the dot's operand load under XLA; HBM reads the packed nibbles.
+    Computed as TWO half-matmuls (low nibbles x input rows [0, in/2),
+    high nibbles x rows [in/2, in)) whose f32 partials add. The point is
+    what ISN'T here: the naive ``concat(lo, hi)`` unpack materializes a
+    full bf16 weight tensor — a concat cannot fuse into a dot operand —
+    and in the chunked prefill XLA then CSE'd every layer's dequantized
+    weights across all chunks, holding ~12.8 GB of temps live (measured
+    OOM: 17.3 of 15.75 GB HBM, r5). Per half the chain is
+    shift -> convert -> group-scale multiply (reshapes are bitcasts),
+    the same elementwise form as the int8 path that XLA demonstrably
+    fuses into the operand load; HBM reads only packed nibbles.
     Operands stay in x.dtype (bf16 on TPU) — the MXU runs at full bf16
-    rate (forcing f32 operands measured at a fraction of it, CLAUDE.md)."""
-    w = dequantize_kernel_int4(qparams, dtype=x.dtype)
-    y = jnp.einsum("...i,io->...o", x, w,
-                   preferred_element_type=jnp.float32)
+    rate (forcing f32 operands measured at a fraction of it, CLAUDE.md).
+
+    Falls back to the explicit dequant when the group split straddles
+    the pack halves (only possible at toy dims where in/2 % group != 0)."""
+    packed = qparams["kernel_q4"]          # [in/2, out] int8
+    scale = qparams["scale4"]              # [n_g, out] f32
+    half, out = packed.shape
+    n_g = scale.shape[0]
+    g = (half * 2) // n_g
+    if n_g % 2 or half % g:
+        w = dequantize_kernel_int4(qparams, dtype=x.dtype)
+        y = jnp.einsum("...i,io->...o", x, w,
+                       preferred_element_type=jnp.float32)
+        return y.astype(x.dtype)
+    n2 = n_g // 2
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)   # sign-extended
+    hi = jnp.right_shift(packed, 4)                      # arithmetic shift
+
+    def _half(q, s, xs):
+        w = q.astype(x.dtype).reshape(n2, g, out) \
+            * s[:, None, :].astype(x.dtype)
+        return jnp.einsum("...i,io->...o", xs, w.reshape(half, out),
+                          preferred_element_type=jnp.float32)
+
+    y = _half(lo, scale[:n2], x[..., :half]) \
+        + _half(hi, scale[n2:], x[..., half:])
     return y.astype(x.dtype)
 
 
