@@ -184,3 +184,43 @@ def test_parity_run_dry_run(tmp_path):
     )
     assert result2["pass"] is True
     assert all(d == 0.0 for d in result2["deltas"].values())
+
+
+def test_parity_run_qa_gate(tmp_path):
+    """--qa-gate with an UNquantized converted QA dir must run all three
+    real-weights quantization gates (w8a8 prefill / int4 decode weights /
+    int8 KV cache) inside the parity artifact, so asset day covers the
+    grounding parity AND the QA quantization decisions in one command."""
+    import dataclasses
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import parity_run
+
+    from vgqa_tpu.qa import LLMConfig, QAEngine, ViTConfig
+    from vgqa_tpu.training.checkpoint import CheckpointManager
+
+    llm_cfg, vit_cfg = LLMConfig.tiny(), ViTConfig.tiny()
+    eng = QAEngine.init_random(llm_cfg, vit_cfg)
+    mdl = tmp_path / "model"
+    CheckpointManager(str(mdl)).save("params", dict(eng.params))
+    with open(mdl / "vgqa_tpu_config.json", "w") as f:
+        json.dump({"llm": dataclasses.asdict(llm_cfg),
+                   "vit": dataclasses.asdict(vit_cfg)}, f)
+
+    out = str(tmp_path / "PARITY_RESULT.json")
+    result = parity_run.main(
+        ["--dry-run", "--out", out, "--qa-model-dir", str(mdl), "--qa-gate"]
+    )
+    assert "answer" in result["qa_smoke"]
+    assert set(result["qa_gates"]) == {"w8a8", "int4", "kv8"}
+    for wq, g in result["qa_gates"].items():
+        # each gate must RUN to a verdict; the verdict itself is not
+        # asserted — a tiny random model legitimately diverges on the
+        # strict 64-token greedy match (real weights are the real gate)
+        assert "error" not in g, (wq, g)
+        assert isinstance(g["pass"], bool), (wq, g)
+        assert g["criteria"], (wq, g)
+    saved = json.load(open(out))
+    assert saved["qa_gates"] == result["qa_gates"]

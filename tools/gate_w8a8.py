@@ -78,7 +78,16 @@ def main(argv=None):
         # the gate tree needs the llm weights + the embedding table
         params = dict(tree["llm"])
         params["tok_embeddings"] = tree["embed"]["tok_embeddings"]
-        cfg = LLMConfig.internlm2_5_7b()
+        # a converted dir records its geometry; default to the production
+        # InternVideo2.5 LLM otherwise
+        import json as _json
+
+        cfg_path = Path(args.params_dir).parent / "vgqa_tpu_config.json"
+        if cfg_path.exists():
+            with open(cfg_path) as f:
+                cfg = LLMConfig(**_json.load(f).get("llm", {}))
+        else:
+            cfg = LLMConfig.internlm2_5_7b()
     else:
         cfg = LLMConfig(
             vocab_size=args.vocab, hidden_size=args.hidden,

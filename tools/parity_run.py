@@ -114,6 +114,15 @@ def main(argv=None):
     parser.add_argument("--qa-model-dir", default="",
                         help="optional converted QA model dir; runs a smoke "
                              "question through the QA engine")
+    parser.add_argument("--qa-gate", action="store_true",
+                        help="with --qa-model-dir (an UNquantized converted "
+                             "dir): run the strict real-weights accuracy "
+                             "gates for every shipped quantized path "
+                             "(w8a8 prefill, int4 decode weights, int8 KV "
+                             "cache) and record their verdicts — the "
+                             "asset-day artifact then covers grounding "
+                             "parity AND the QA quantization decisions in "
+                             "one command")
     parser.add_argument("--out", default="PARITY_RESULT.json")
     parser.add_argument("--dry-run", action="store_true",
                         help="synthetic data + random reference-shaped "
@@ -214,6 +223,7 @@ def main(argv=None):
             )
 
         qa_answer = None
+        qa_gates = None
         if args.qa_model_dir:
             from vgqa_tpu.inference.qa import predict as qa_predict
             from vgqa_tpu.data.synthetic import write_synthetic_video
@@ -224,6 +234,25 @@ def main(argv=None):
                 vid, "Describe the video.", model_dir=args.qa_model_dir,
                 temperature=0.0, num_frames=8,
             )
+            if args.qa_gate:
+                # strict real-weights gates for the quantized serving paths
+                # (gate_w8a8.py switches to its strict criteria when given
+                # real params); a failure is a RESULT — record it per path
+                from gate_w8a8 import main as gate_main
+
+                gate_dir = os.path.join(args.qa_model_dir, "params")
+                qa_gates = {}
+                for wq in ("w8a8", "int4", "kv8"):
+                    try:
+                        qa_gates[wq] = gate_main([
+                            "--params-dir", gate_dir, "--wq", wq,
+                            "--out", os.path.join(tmp, f"gate_{wq}.json"),
+                        ])
+                    except Exception as e:  # missing/quantized dir etc.
+                        qa_gates[wq] = {
+                            "error": f"{type(e).__name__}: {e}"}
+                    logger.info(f"qa gate {wq}: "
+                                f"{qa_gates[wq].get('pass', 'error')}")
 
         result = {
             "dry_run": bool(args.dry_run),
@@ -241,6 +270,14 @@ def main(argv=None):
             "deltas": deltas,
             "pass": passed,
         }
+        if qa_answer is not None:
+            result["qa_smoke"] = qa_answer
+        if qa_gates is not None:
+            result["qa_gates"] = {
+                wq: {k: g[k] for k in ("pass", "error", "criteria")
+                     if k in g}
+                for wq, g in qa_gates.items()
+            }
         with open(args.out, "w") as f:
             json.dump(result, f, indent=2, default=float)
         print(json.dumps({"headline": headline, "pass": passed,
