@@ -899,3 +899,79 @@ def test_load_video_tiles_yuv_close_to_rgb(tmp_path):
     assert npl_rgb == npl
     diff = np.abs(rgb_from_yuv - tiles_rgb.astype(np.float32)).mean()
     assert diff < 12.0, diff  # same content, different scaler + 4:2:0
+
+
+# -- layer-scanned decode ----------------------------------------------------
+def test_scan_decode_matches_unrolled_kv8(monkeypatch):
+    """VGQA_SCAN_DECODE collapses the unrolled per-layer decode into one
+    lax.scan over stacked params + the stacked int8 cache — it must be a
+    pure program-shape transform: identical greedy, sampled, and batched
+    answers vs the unrolled int8-KV path (same quantization at every
+    step)."""
+    import jax
+
+    g = GenerationConfig(max_new_tokens=10, do_sample=False,
+                         ignore_eos=True)
+    gs = GenerationConfig(max_new_tokens=10, do_sample=True,
+                          temperature=0.8, top_p=0.9)
+
+    monkeypatch.setenv("VGQA_KV_INT8", "1")
+    monkeypatch.delenv("VGQA_SCAN_DECODE", raising=False)
+    base = QAEngine.init_random(LLMConfig.tiny(), ViTConfig.tiny())
+    s = base.vit_cfg.image_size
+    tiles = np.random.RandomState(3).randint(
+        0, 256, (2, s, s, 3), dtype=np.uint8
+    )
+    reqs = [(tiles, "what?", [1, 1]), (tiles, "and?", [1, 1])]
+    a_base = base.chat(tiles, "what?", g, num_patches_list=[1, 1])
+    sm_base = base.chat(tiles, "what?", gs, num_patches_list=[1, 1],
+                        rng=jax.random.PRNGKey(7))
+    b_base = base.chat_batch(reqs, g)
+
+    monkeypatch.setenv("VGQA_SCAN_DECODE", "1")
+    scan = QAEngine.init_random(LLMConfig.tiny(), ViTConfig.tiny())
+    assert scan._scan_decode and scan._kv_quant == "int8"
+    a_scan = scan.chat(tiles, "what?", g, num_patches_list=[1, 1])
+    sm_scan = scan.chat(tiles, "what?", gs, num_patches_list=[1, 1],
+                        rng=jax.random.PRNGKey(7))
+    b_scan = scan.chat_batch(reqs, g)
+    assert a_base, "greedy answer must be non-empty for a real comparison"
+    assert a_scan == a_base
+    assert sm_scan == sm_base
+    assert b_scan == b_base
+    # params were stacked in place: layer_i entries gone, one layers tree
+    assert "layers" in scan.params["llm"]
+    assert "layer_0" not in scan.params["llm"]
+
+
+def test_stacked_params_prefill_matches_per_layer():
+    """llm_forward must read stacked storage (stack_llm_layers) through
+    static slices with identical results to the per-layer tree — one
+    device weight copy serves both the unrolled prefill and the scanned
+    decode."""
+    import jax
+    import jax.numpy as jnp
+
+    from vgqa_tpu.qa.llm import init_kv_cache
+    from vgqa_tpu.qa.llm_functional import llm_forward, stack_llm_layers
+
+    cfg = LLMConfig.tiny()
+    eng = QAEngine.init_random(cfg, ViTConfig.tiny())
+    params = eng.params["llm"]
+    stacked = stack_llm_layers(params, cfg.num_layers)
+
+    rng = np.random.RandomState(5)
+    L, S = 8, 32
+    embeds = jnp.asarray(rng.randn(1, L, cfg.hidden_size), jnp.float32)
+    positions = jnp.arange(L)[None]
+    mask = (jnp.arange(S)[None, None, :] <= jnp.arange(L)[None, :, None])
+    cache = init_kv_cache(cfg, 1, S, jnp.float32)
+    lo_a, ca = llm_forward(params, cfg, embeds, positions, mask,
+                           cache=cache, cache_index=jnp.asarray(0))
+    cache = init_kv_cache(cfg, 1, S, jnp.float32)
+    lo_b, cb = llm_forward(stacked, cfg, embeds, positions, mask,
+                           cache=cache, cache_index=jnp.asarray(0))
+    np.testing.assert_array_equal(np.asarray(lo_a), np.asarray(lo_b))
+    for (ka, va), (kb, vb) in zip(ca, cb):
+        np.testing.assert_array_equal(np.asarray(ka), np.asarray(kb))
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))

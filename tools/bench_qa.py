@@ -153,6 +153,11 @@ def main():
                          "the INT8 arm (bf16-cache batch numbers are in "
                          "BASELINE.md; int8 rows halve the KV footprint, "
                          "so batch=8 fits HBM)")
+    ap.add_argument("--scan-decode", action="store_true",
+                    help="layer-scanned decode (VGQA_SCAN_DECODE): one "
+                         "lax.scan over host-stacked params + the stacked "
+                         "int8 KV cache — ~32x smaller decode program, "
+                         "targets the remote-compile batch>=8 ceiling")
     ap.add_argument("--quant-only", action="store_true",
                     help="skip the bf16 pass (8B-class bf16 exceeds one "
                          "v5e's 16 GB HBM; int8 fits)")
@@ -162,6 +167,11 @@ def main():
                          "(lm_head stays int8) — decode is weight-HBM-"
                          "bound, int4 halves the per-token weight read")
     args = ap.parse_args()
+
+    import os
+
+    if args.scan_decode:
+        os.environ["VGQA_SCAN_DECODE"] = "1"
 
     import jax
     import jax.numpy as jnp
@@ -211,6 +221,13 @@ def main():
                 engine.params,
             )
             engine.params["llm"] = quantize(engine.params["llm"])
+            if args.scan_decode:
+                # stack on HOST so the device never holds two weight
+                # copies (engine._ensure_scan_params then no-ops)
+                from vgqa_tpu.qa.llm_functional import stack_llm_layers
+
+                engine.params["llm"] = stack_llm_layers(
+                    engine.params["llm"], args.layers)
         dev = jax.devices()[0]
         engine.params = jax.device_put(engine.params, dev)
     else:

@@ -26,7 +26,7 @@ import numpy as np
 
 from .llm import (LLM, LLMConfig, TokenEmbedding, init_kv_cache,
                   kv_cache_quantized, kv_cache_stacked, kv_seq_len,
-                  quantize_kv, quantize_kv_cache)
+                  quantize_kv, quantize_kv_cache, quantize_kv_cache_stacked)
 from .vit import ViTConfig, VisionTower
 
 
@@ -231,6 +231,25 @@ class QAEngine:
         self._kv_quant = (
             "int8" if kv8_requested and not self._stacked_kv else None
         )
+        # VGQA_SCAN_DECODE=1: decode as ONE lax.scan over layers against
+        # stacked params (llm_functional.stack_llm_layers) and the stacked
+        # int8 KV dict — ~num_layers-fold smaller decode program, aimed at
+        # the remote-compile-service ceiling that deterministically
+        # rejected the unrolled batch>=8 decode (BASELINE.md r4/r5).
+        # Implies the int8 KV cache; params are stacked in place on first
+        # use (stack big models on HOST before upload — bench_qa
+        # --scan-decode does; a device-side stack of 8B weights would
+        # transiently double weight HBM leaf-by-leaf).
+        self._scan_decode = (
+            _os.environ.get("VGQA_SCAN_DECODE", "0") == "1"
+        )
+        if self._scan_decode:
+            if self._stacked_kv:
+                raise ValueError(
+                    "VGQA_SCAN_DECODE uses the stacked INT8 cache; unset "
+                    "VGQA_STACKED_KV"
+                )
+            self._kv_quant = "int8"
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=(3,))
         self._prefill_chunked = jax.jit(self._prefill_chunked_impl,
                                         donate_argnums=(3,))
@@ -247,8 +266,13 @@ class QAEngine:
         )
         # one-pass bf16 -> int8 cache conversion, run between prefill and
         # decode (prefill itself always rides the fast bf16-KV path; the
-        # donated bf16 cache is freed as the int8 layout is written)
-        self._quantize_cache = jax.jit(quantize_kv_cache, donate_argnums=(0,))
+        # donated bf16 cache is freed as the int8 layout is written).
+        # Scan mode converts to the stacked dict in the same single pass.
+        self._quantize_cache = jax.jit(
+            quantize_kv_cache_stacked if self._scan_decode
+            else quantize_kv_cache,
+            donate_argnums=(0,),
+        )
         # move one prefilled [1, ...] cache into row `i` of the [B, ...]
         # batch cache in place (batch donated; the row can't alias a
         # [B, ...] output, so donating it would only warn): chat_batch's
@@ -260,7 +284,8 @@ class QAEngine:
         )
 
     def _build_insert_cache_row(self):
-        _row_axis = 1 if self._stacked_kv else 0  # stacked: [nL, B, ...]
+        # stacked layouts (bf16 tuple or scanned int8 dict): [nL, B, ...]
+        _row_axis = 1 if (self._stacked_kv or self._scan_decode) else 0
         self._insert_cache_row = jax.jit(
             lambda batch, row, i: jax.tree.map(
                 lambda b, r: jax.lax.dynamic_update_slice_in_dim(
@@ -286,9 +311,50 @@ class QAEngine:
         (int8 entries are dicts, bf16 entries tuples). int8 uses the
         per-layer list layout, so it clears the stacked flag."""
         self._kv_quant = "int8" if flag else None
+        self._scan_decode = False
+        self._quantize_cache = jax.jit(quantize_kv_cache,
+                                       donate_argnums=(0,))
         if flag and self._stacked_kv:
             self._stacked_kv = False
-            self._build_insert_cache_row()
+        self._build_insert_cache_row()
+
+    def set_scan_decode(self, flag: bool):
+        """Switch the layer-scanned decode on/off in process (bench
+        A/Bs). On: decode runs llm_decode_scanned against stacked params
+        + the stacked int8 cache (params are stacked in place on first
+        use); off: the unrolled per-layer int8-KV path. The decode jits
+        retrace automatically on the new cache pytree; note stacked
+        params persist once built (llm_forward reads either storage)."""
+        self._scan_decode = bool(flag)
+        self._kv_quant = "int8"
+        if flag:
+            self._stacked_kv = False
+        self._quantize_cache = jax.jit(
+            quantize_kv_cache_stacked if flag else quantize_kv_cache,
+            donate_argnums=(0,),
+        )
+        self._build_insert_cache_row()
+
+    def _ensure_scan_params(self):
+        """Stack ``layer_i`` params into the ``layers`` tree in place
+        (idempotent). Leaf-by-leaf with progressive frees, so the
+        transient overhead is ONE stacked leaf (e.g. 32 down_proj kernels
+        ~1.8 GB int8 at 8B scale), not a full second weight copy."""
+        llm = self.params["llm"]
+        if "layers" in llm:
+            return
+        keys = [f"layer_{i}" for i in range(self.llm_cfg.num_layers)]
+        trees = [llm.pop(k) for k in keys]
+        flats, treedef = zip(*(jax.tree_util.tree_flatten(t)
+                               for t in trees))
+        flats = [list(f) for f in flats]
+        stacked_leaves = []
+        for j in range(len(flats[0])):
+            stacked_leaves.append(jnp.stack([f[j] for f in flats]))
+            for f in flats:
+                f[j] = None  # drop the per-layer buffer refs as we go
+        llm["layers"] = jax.tree_util.tree_unflatten(
+            treedef[0], stacked_leaves)
 
     # -- params init (random; converters fill real weights) ----------------
     @classmethod
@@ -823,6 +889,8 @@ class QAEngine:
             num_patches_list = [tiles.shape[0]]
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         stats = {}
+        if self._scan_decode:
+            self._ensure_scan_params()
 
         t0 = _time.time()
         vision_tokens = self._encode_vision(tiles)  # [n_tiles, tok, D]
@@ -958,6 +1026,8 @@ class QAEngine:
             gens = [gen or GenerationConfig()] * len(requests)
         if not requests:
             return ([], {}) if return_stats else []
+        if self._scan_decode:
+            self._ensure_scan_params()
 
         from .llm_functional import embed_tokens
 
@@ -995,7 +1065,8 @@ class QAEngine:
         # row caches + the 7.7 GB int8 weights would exceed one v5e's HBM)
         batch_cache = init_kv_cache(
             self.llm_cfg, len(prepped), max_total, self.dtype,
-            stacked=self._stacked_kv, quant=self._kv_quant,
+            stacked=self._stacked_kv or self._scan_decode,
+            quant=self._kv_quant,
         )
         first_rows, lengths = [], []
         for i, (vision_tokens, ids, img_positions, length) in enumerate(

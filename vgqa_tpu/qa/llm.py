@@ -210,9 +210,23 @@ def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
       the per-step HBM read of the cache halves. At the 32-frame QA
       protocol a cache row is ~1.2 GB bf16; int8 makes batch=8 rows +
       the 7.7 GB int8 weights fit one v5e's 16 GB HBM.
+    * ``quant="int8", stacked=True``: ONE dict of stacked buffers
+      {kq int8 [nL, B, KVH, S, hd], ks f32 [nL, B, KVH, S], vq, vs} —
+      the scanned-decode layout (llm_functional.llm_decode_scanned).
     """
     if quant == "int8":
-        assert not stacked, "int8 KV uses the per-layer list layout"
+        if stacked:
+            # the scanned-decode layout (llm_decode_scanned): ONE int8
+            # buffer + scale buffer per side with a leading layer axis
+            kv = (cfg.num_layers, batch, cfg.num_kv_heads, max_len,
+                  cfg.head_dim)
+            sc = (cfg.num_layers, batch, cfg.num_kv_heads, max_len)
+            return {
+                "kq": jnp.zeros(kv, jnp.int8),
+                "ks": jnp.zeros(sc, jnp.float32),
+                "vq": jnp.zeros(kv, jnp.int8),
+                "vs": jnp.zeros(sc, jnp.float32),
+            }
         kv = (batch, cfg.num_kv_heads, max_len, cfg.head_dim)
         sc = (batch, cfg.num_kv_heads, max_len)
         return [
@@ -292,8 +306,33 @@ def kv_cache_stacked(cache) -> bool:
     return isinstance(cache, tuple) and hasattr(cache[0], "shape")
 
 
+def kv_cache_stacked_int8(cache) -> bool:
+    """True for the stacked int8 dict layout ({kq [nL, B, KVH, S, hd]
+    int8, ks [nL, B, KVH, S] f32, vq, vs} — llm_decode_scanned)."""
+    return isinstance(cache, dict) and "kq" in cache
+
+
+def quantize_kv_cache_stacked(cache):
+    """bf16 per-layer list cache -> ONE stacked int8 dict, in one pass.
+
+    The post-prefill conversion feeding :func:`llm_decode_scanned`: the
+    decode scan then carries FOUR buffers (kq/ks/vq/vs) instead of
+    4*num_layers, and the per-layer program shrinks ~num_layers-fold —
+    targeting the remote-compile-service program-size ceiling that
+    rejected the batch>=8 unrolled decode (BASELINE.md r4/r5). Same
+    per-token absmax quantization as :func:`quantize_kv_cache`."""
+    kq, ks = zip(*(quantize_kv(ck) for ck, _ in cache))
+    vq, vs = zip(*(quantize_kv(cv) for _, cv in cache))
+    return {
+        "kq": jnp.stack(kq), "ks": jnp.stack(ks),
+        "vq": jnp.stack(vq), "vs": jnp.stack(vs),
+    }
+
+
 def kv_seq_len(cache) -> int:
     """Static sequence capacity S of any cache layout (no traced ops)."""
+    if kv_cache_stacked_int8(cache):
+        return cache["kq"].shape[3]
     if kv_cache_stacked(cache):
         return cache[0].shape[3]
     if kv_cache_quantized(cache):

@@ -15,8 +15,39 @@ import jax
 import jax.numpy as jnp
 
 from .llm import (LLMConfig, apply_rope, dequantize_kv, kv_cache_stacked,
-                  quantize_kv, rotary_embedding)
+                  kv_cache_stacked_int8, quantize_kv, rotary_embedding)
 from .quant import quant_matmul, quant_matmul_int4, quant_matmul_w8a8
+
+
+def stack_llm_layers(params: Dict[str, Any], num_layers: int
+                     ) -> Dict[str, Any]:
+    """Per-layer ``layer_i`` entries -> ONE ``layers`` tree with a leading
+    [num_layers, ...] axis per leaf (works for bf16 ``kernel``, int8
+    ``kernel_q``+``scale`` and int4 ``kernel_q4``+``scale4`` alike).
+
+    This is the parameter form of :func:`llm_decode_scanned`: the decode
+    step then lax.scans over the stacked tree instead of unrolling
+    num_layers copies of the layer program — ~32x fewer HLO instructions,
+    aimed at the remote-compile-service program-size ceiling that
+    deterministically rejected the batch>=8 unrolled decode
+    (BASELINE.md r4/r5). The unrolled :func:`llm_forward` reads the same
+    storage through static slices (:func:`_layer_params`), so ONE device
+    copy of the weights serves both prefill and decode. Stack on HOST
+    (cpu jax default_device) for big models — a device-side stack
+    transiently doubles weight HBM."""
+    layer_keys = [f"layer_{i}" for i in range(num_layers)]
+    stacked = jax.tree.map(lambda *ls: jnp.stack(ls),
+                           *[params[k] for k in layer_keys])
+    out = {k: v for k, v in params.items() if k not in layer_keys}
+    out["layers"] = stacked
+    return out
+
+
+def _layer_params(params: Dict[str, Any], i: int) -> Dict[str, Any]:
+    """Layer ``i``'s tree from either storage form (static ``i``)."""
+    if "layers" in params:
+        return jax.tree.map(lambda a: a[i], params["layers"])
+    return params[f"layer_{i}"]
 
 
 def _dense(x: jnp.ndarray, p: Dict[str, Any], w8a8: bool = False) -> jnp.ndarray:
@@ -83,6 +114,14 @@ def llm_forward(
     channel activation absmax for the four matmul groups (qkv_in / o_in /
     mlp_in / down_in) — the SmoothQuant calibration signal consumed by
     quant.smooth_llm_params."""
+    if cache is not None and kv_cache_stacked_int8(cache):
+        assert flash_prefill is None and not collect_act_stats, (
+            "the scanned decode path serves plain decode steps only"
+        )
+        return llm_decode_scanned(
+            params, cfg, input_embeds, positions, attn_mask, cache,
+            cache_index, lm_head_rows=lm_head_rows, w8a8=w8a8,
+        )
     x = input_embeds
     B, L, _ = x.shape
     hd = cfg.head_dim
@@ -98,7 +137,7 @@ def llm_forward(
                        axis=tuple(range(t.ndim - 1)))
 
     for i in range(cfg.num_layers):
-        p = params[f"layer_{i}"]
+        p = _layer_params(params, i)
         h = _rms_norm(x, p["attn_norm"], cfg.rms_eps)
         q = _dense(h, p["q_proj"], w8a8).reshape(B, L, cfg.num_heads, hd)
         k = _dense(h, p["k_proj"], w8a8).reshape(B, L, cfg.num_kv_heads, hd)
@@ -278,6 +317,119 @@ def llm_forward(
     if collect_act_stats:
         return logits, out_cache, act_stats
     return logits, out_cache
+
+
+def llm_decode_scanned(
+    params: Dict[str, Any],
+    cfg: LLMConfig,
+    input_embeds: jnp.ndarray,   # [B, L, D]
+    positions: jnp.ndarray,      # [B, L]
+    attn_mask: jnp.ndarray,      # [B, L, S]
+    cache: Dict[str, jnp.ndarray],  # stacked int8 dict (llm.py)
+    cache_index,                 # scalar or [B]
+    lm_head_rows: Optional[jnp.ndarray] = None,
+    w8a8: bool = False,
+):
+    """Decode step as ONE lax.scan over layers.
+
+    Same math as :func:`llm_forward`'s int8-KV branch (per-token absmax
+    K/V quantization at write, scales factored OUT of both attention
+    dots), but the 32 unrolled layer copies collapse into a single scan
+    body over the stacked parameter tree (:func:`stack_llm_layers`) and
+    the stacked int8 cache (llm.init_kv_cache ``stacked_int8`` /
+    ``quantize_kv_cache_stacked``). The emitted program is
+    ~num_layers-fold smaller: the decode while_loop carries 4 cache
+    buffers instead of 4*num_layers and buffer assignment sees one layer
+    body — aimed squarely at the remote-compile-service ceiling that
+    rejected the unrolled batch>=8 decode (deterministic HTTP 500,
+    BASELINE.md r4/r5) while HBM reads stay identical. Replaces the
+    reference's per-token HF generate loop
+    (/root/reference/vgqa/inference/qa.py:236-245)."""
+    x = input_embeds
+    B, L, _ = x.shape
+    hd = cfg.head_dim
+    group = cfg.num_heads // cfg.num_kv_heads
+    cos, sin = rotary_embedding(positions, hd, cfg.rope_theta)
+    batched = jnp.ndim(cache_index) == 1
+    nL = cache["kq"].shape[0]
+    assert "layers" in params, (
+        "llm_decode_scanned needs stacked params (stack_llm_layers)"
+    )
+    sqrt_hd = jnp.sqrt(hd).astype(jnp.float32)
+
+    def body(carry, inp):
+        x, kq_all, ks_all, vq_all, vs_all = carry
+        i, p = inp
+        h = _rms_norm(x, p["attn_norm"], cfg.rms_eps)
+        q = _dense(h, p["q_proj"], w8a8).reshape(B, L, cfg.num_heads, hd)
+        k = _dense(h, p["k_proj"], w8a8).reshape(B, L, cfg.num_kv_heads, hd)
+        v = _dense(h, p["v_proj"], w8a8).reshape(B, L, cfg.num_kv_heads, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kq, ks = quantize_kv(k.transpose(0, 2, 1, 3))   # [B, KVH, L, hd]
+        vq, vs = quantize_kv(v.transpose(0, 2, 1, 3))
+        # write ONLY the new token's slice into the [nL, ...] buffers
+        # (a read-modify-write of the full layer slice would stream the
+        # whole cache row per layer); `i` is the traced scan counter —
+        # dynamic_update_slice takes traced starts
+        if batched:
+            for b in range(B):
+                st4 = (i, b, 0, cache_index[b], 0)
+                st3 = (i, b, 0, cache_index[b])
+                kq_all = jax.lax.dynamic_update_slice(
+                    kq_all, kq[b:b + 1][None], st4)
+                ks_all = jax.lax.dynamic_update_slice(
+                    ks_all, ks[b:b + 1][None], st3)
+                vq_all = jax.lax.dynamic_update_slice(
+                    vq_all, vq[b:b + 1][None], st4)
+                vs_all = jax.lax.dynamic_update_slice(
+                    vs_all, vs[b:b + 1][None], st3)
+        else:
+            kq_all = jax.lax.dynamic_update_slice(
+                kq_all, kq[None], (i, 0, 0, cache_index, 0))
+            ks_all = jax.lax.dynamic_update_slice(
+                ks_all, ks[None], (i, 0, 0, cache_index))
+            vq_all = jax.lax.dynamic_update_slice(
+                vq_all, vq[None], (i, 0, 0, cache_index, 0))
+            vs_all = jax.lax.dynamic_update_slice(
+                vs_all, vs[None], (i, 0, 0, cache_index))
+        ekq = jax.lax.dynamic_index_in_dim(kq_all, i, 0, keepdims=False)
+        eks = jax.lax.dynamic_index_in_dim(ks_all, i, 0, keepdims=False)
+        evq = jax.lax.dynamic_index_in_dim(vq_all, i, 0, keepdims=False)
+        evs = jax.lax.dynamic_index_in_dim(vs_all, i, 0, keepdims=False)
+        qh = q.transpose(0, 2, 1, 3).reshape(
+            B, cfg.num_kv_heads, group, L, hd)
+        # scales factored OUT of both dots (same identity as llm_forward's
+        # int8-KV branch): the MXU streams int8 buffers directly
+        logits = jnp.einsum(
+            "bkgld,bksd->bkgls", qh, ekq.astype(qh.dtype),
+            preferred_element_type=jnp.float32,
+        ) * eks[:, :, None, None, :]
+        logits = logits / sqrt_hd
+        logits = jnp.where(attn_mask[:, None, None], logits, -1e30)
+        probs = jax.nn.softmax(logits, axis=-1)
+        pv = (probs * evs[:, :, None, None, :]).astype(x.dtype)
+        ctx = jnp.einsum(
+            "bkgls,bksd->bkgld", pv, evq.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        ctx = ctx.reshape(B, cfg.num_heads, L, hd).transpose(0, 2, 1, 3)
+        ctx = ctx.reshape(B, L, cfg.num_heads * hd)
+        x = x + _dense(ctx, p["o_proj"], w8a8)
+        h2 = _rms_norm(x, p["mlp_norm"], cfg.rms_eps)
+        m = jax.nn.silu(_dense(h2, p["gate_proj"], w8a8)) \
+            * _dense(h2, p["up_proj"], w8a8)
+        x = x + _dense(m, p["down_proj"], w8a8)
+        return (x, kq_all, ks_all, vq_all, vs_all), None
+
+    carry0 = (x, cache["kq"], cache["ks"], cache["vq"], cache["vs"])
+    (x, kq_all, ks_all, vq_all, vs_all), _ = jax.lax.scan(
+        body, carry0, (jnp.arange(nL), params["layers"]))
+    x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
+    if lm_head_rows is not None:
+        x = jnp.take_along_axis(x, lm_head_rows[:, None, None], axis=1)
+    logits = _dense(x, params["lm_head"])
+    return logits, {"kq": kq_all, "ks": ks_all, "vq": vq_all, "vs": vs_all}
 
 
 def embed_tokens(params: Dict[str, Any], cfg: LLMConfig, token_ids):
