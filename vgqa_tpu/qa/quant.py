@@ -169,6 +169,17 @@ def quant_matmul_int4(x: jnp.ndarray,
     Operands stay in x.dtype (bf16 on TPU) — the MXU runs at full bf16
     rate (forcing f32 operands measured at a fraction of it, CLAUDE.md).
 
+    Decode refinement (measured): applying the group scales to the
+    WEIGHTS — even concat-free — still materializes a bf16 weight tensor
+    per decode step, because scales on the contraction axis cannot
+    commute through the dot the way int8's per-output-channel scale does
+    (int4 decode measured 30 tok/s vs int8's 86: ~27 GB/token of dequant
+    traffic). So the contraction is split per GROUP instead: partial
+    dots ``x_g @ q_g`` with PURE int8->bf16 operand converts (the form
+    XLA fuses into the operand load, as the int8 path proves on-chip),
+    then the [.., n_g, out] partial sums — tiny — are scaled and reduced.
+    Same MACs, HBM reads only packed nibbles.
+
     Falls back to the explicit dequant when the group split straddles
     the pack halves (only possible at toy dims where in/2 % group != 0)."""
     packed = qparams["kernel_q4"]          # [in/2, out] int8
@@ -184,15 +195,25 @@ def quant_matmul_int4(x: jnp.ndarray,
     n2 = n_g // 2
     lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)   # sign-extended
     hi = jnp.right_shift(packed, 4)                      # arithmetic shift
+    lead = x.shape[:-1]
+    # XLA:CPU's dot thunk lacks batched bf16 x bf16 = f32 (UNIMPLEMENTED
+    # at run time); tests there ride f32 operands. TPU keeps x.dtype so
+    # the MXU runs at the full bf16 rate.
+    dt = jnp.float32 if jax.default_backend() == "cpu" else x.dtype
+    xg = x.astype(dt).reshape(*lead, n_g, g)
 
-    def _half(q, s, xs):
-        w = q.astype(x.dtype).reshape(n2, g, out) \
-            * s[:, None, :].astype(x.dtype)
-        return jnp.einsum("...i,io->...o", xs, w.reshape(half, out),
+    def _half(q, xs):
+        # [.., n2, g] x [n2, g, out] -> [.., n2, out] partial sums; the
+        # weight operand is a bare convert of the nibble-unpacked int8
+        return jnp.einsum("...gi,gio->...go", xs,
+                          q.reshape(n2, g, out).astype(dt),
                           preferred_element_type=jnp.float32)
 
-    y = _half(lo, scale[:n2], x[..., :half]) \
-        + _half(hi, scale[n2:], x[..., half:])
+    parts = jnp.concatenate(
+        [_half(lo, xg[..., :n2, :]), _half(hi, xg[..., n2:, :])],
+        axis=-2,
+    )                                                    # [.., n_g, out]
+    y = jnp.sum(parts * scale[(None,) * len(lead)], axis=-2)
     return y.astype(x.dtype)
 
 
