@@ -169,16 +169,32 @@ def quant_matmul_int4(x: jnp.ndarray,
     Operands stay in x.dtype (bf16 on TPU) — the MXU runs at full bf16
     rate (forcing f32 operands measured at a fraction of it, CLAUDE.md).
 
-    Decode refinement (measured): applying the group scales to the
-    WEIGHTS — even concat-free — still materializes a bf16 weight tensor
-    per decode step, because scales on the contraction axis cannot
-    commute through the dot the way int8's per-output-channel scale does
-    (int4 decode measured 30 tok/s vs int8's 86: ~27 GB/token of dequant
-    traffic). So the contraction is split per GROUP instead: partial
-    dots ``x_g @ q_g`` with PURE int8->bf16 operand converts (the form
-    XLA fuses into the operand load, as the int8 path proves on-chip),
-    then the [.., n_g, out] partial sums — tiny — are scaled and reduced.
-    Same MACs, HBM reads only packed nibbles.
+    All three XLA-level expressions of this matmul are now chip-measured
+    at the production geometry (BASELINE.md r5); this function keeps the
+    best one — the half-matmul form — and int4 stays opt-in because even
+    it LOSES to int8:
+
+    1. ``concat(lo, hi)`` dequant then one dot: the concat cannot fuse
+       into a dot operand, so XLA materializes every layer's bf16
+       weights and CSEs them across prefill chunks — chunked prefill
+       OOMs HBM outright (17.3 of 15.75 GB).
+    2. THIS form — two half-matmuls (low nibbles x rows [0, in/2), high
+       nibbles x rows [in/2, in)), group scales applied to the weight
+       operand, f32 partials added: prefill healthy (7.3k tok/s), but
+       decode measures 30 vs int8's 86 tok/s — contraction-axis group
+       scales cannot commute through the dot like int8's per-output-
+       channel scale, so each decode step still materializes ~13 GB of
+       dequantized bf16 weights (~27 GB/token of traffic).
+    3. Per-group partial dots with scales applied to the [.., n_g, out]
+       partial sums (weight operand a bare int8->bf16 convert): WORSE
+       everywhere — decode 14.3 tok/s, prefill 1.3k tok/s. The G
+       batched [M, 128] x [128, N] dots run far below one large dot on
+       the MXU, and the convert still materializes.
+
+    Conclusion: group-wise int4 cannot beat int8 through XLA-expressible
+    matmuls on this hardware; only a dedicated Pallas kernel that
+    unpacks nibbles in VMEM while streaming packed weights could realize
+    the 2x bandwidth saving.
 
     Falls back to the explicit dequant when the group split straddles
     the pack halves (only possible at toy dims where in/2 % group != 0)."""
@@ -195,25 +211,15 @@ def quant_matmul_int4(x: jnp.ndarray,
     n2 = n_g // 2
     lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)   # sign-extended
     hi = jnp.right_shift(packed, 4)                      # arithmetic shift
-    lead = x.shape[:-1]
-    # XLA:CPU's dot thunk lacks batched bf16 x bf16 = f32 (UNIMPLEMENTED
-    # at run time); tests there ride f32 operands. TPU keeps x.dtype so
-    # the MXU runs at the full bf16 rate.
-    dt = jnp.float32 if jax.default_backend() == "cpu" else x.dtype
-    xg = x.astype(dt).reshape(*lead, n_g, g)
 
-    def _half(q, xs):
-        # [.., n2, g] x [n2, g, out] -> [.., n2, out] partial sums; the
-        # weight operand is a bare convert of the nibble-unpacked int8
-        return jnp.einsum("...gi,gio->...go", xs,
-                          q.reshape(n2, g, out).astype(dt),
+    def _half(q, s, xs):
+        w = q.astype(x.dtype).reshape(n2, g, out) \
+            * s[:, None, :].astype(x.dtype)
+        return jnp.einsum("...i,io->...o", xs, w.reshape(half, out),
                           preferred_element_type=jnp.float32)
 
-    parts = jnp.concatenate(
-        [_half(lo, xg[..., :n2, :]), _half(hi, xg[..., n2:, :])],
-        axis=-2,
-    )                                                    # [.., n_g, out]
-    y = jnp.sum(parts * scale[(None,) * len(lead)], axis=-2)
+    y = _half(lo, scale[:n2], x[..., :half]) \
+        + _half(hi, scale[n2:], x[..., half:])
     return y.astype(x.dtype)
 
 
