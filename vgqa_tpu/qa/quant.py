@@ -196,13 +196,33 @@ def quant_matmul_int4(x: jnp.ndarray,
     unpacks nibbles in VMEM while streaming packed weights could realize
     the 2x bandwidth saving.
 
+    THE FIX is below the XLA level: on TPU (and under
+    VGQA_PALLAS_INTERPRET for CPU parity tests), production-shaped
+    matmuls route to the Pallas kernel (ops/pallas/int4_matmul.py) that
+    streams the PACKED nibbles through VMEM, unpacks + scales
+    in-register, and accumulates per-group MXU dots in f32 — HBM reads
+    only K*N/2 bytes, the thing none of the XLA forms could achieve.
+
     Falls back to the explicit dequant when the group split straddles
     the pack halves (only possible at toy dims where in/2 % group != 0)."""
+    import os as _os
+
     packed = qparams["kernel_q4"]          # [in/2, out] int8
     scale = qparams["scale4"]              # [n_g, out] f32
     half, out = packed.shape
     n_g = scale.shape[0]
     g = (half * 2) // n_g
+    from ..ops.pallas.int4_matmul import (int4_matmul,
+                                          int4_matmul_kernel_applicable)
+
+    interp = _os.environ.get("VGQA_PALLAS_INTERPRET") == "1"
+    m = 1
+    for d in x.shape[:-1]:
+        m *= int(d)
+    if ((jax.default_backend() == "tpu" or interp)
+            and _os.environ.get("VGQA_INT4_KERNEL", "1") != "0"
+            and int4_matmul_kernel_applicable(m, half * 2, out, n_g)):
+        return int4_matmul(x, packed, scale, interpret=interp)
     if n_g % 2 or half % g:
         w = dequantize_kernel_int4(qparams, dtype=x.dtype)
         y = jnp.einsum("...i,io->...o", x, w,
