@@ -21,7 +21,8 @@ def _check(m, k, n, dtype, seed=0, group=128):
     w = rng.randn(k, n).astype(np.float32) * 0.1
     x = rng.randn(m, k).astype(np.float32)
     qp = quantize_kernel_int4(jnp.asarray(w), group_size=group)
-    assert int4_matmul_kernel_applicable(m, k, n, qp["scale4"].shape[0])
+    if m <= 64:  # the routing gate restricts to decode-sized M
+        assert int4_matmul_kernel_applicable(m, k, n, qp["scale4"].shape[0])
     ref = np.asarray(x, np.float32) @ np.asarray(
         dequantize_kernel_int4(qp), np.float32)
     out = np.asarray(int4_matmul(jnp.asarray(x, dtype), qp["kernel_q4"],
@@ -48,8 +49,9 @@ def test_int4_kernel_wide_n():
     _check(1, 1024, 1536, jnp.float32)
 
 
-def test_int4_kernel_prefill_m():
-    """chunk-sized M (the chunked prefill's 1024-row blocks)."""
+def test_int4_kernel_large_m():
+    """The kernel itself handles large M (the routing gate keeps prefill
+    on the XLA form, but the kernel must not silently be matvec-only)."""
     _check(256, 1024, 512, jnp.bfloat16)
 
 

@@ -42,7 +42,12 @@ def _int4_kernel(xlo_ref, xhi_ref, packed_ref, slo_ref, shi_ref,
     [M, group] x [group, N_blk] MXU dots (low/high nibble halves) whose
     f32 partial sums are scaled by that group's [N_blk] scale row —
     scales on partial sums are exact (the dot is linear per group), and
-    nothing bf16-sized ever round-trips HBM."""
+    nothing bf16-sized ever round-trips HBM.
+
+    The scale refs carry their FULL group axis (a per-k2-block scale
+    BlockSpec would need a sublane block of K2_blk/group = 4 rows, which
+    violates Mosaic's 8-row block rule); each program slices its G rows
+    by program id — the whole array is ~100 KB of VMEM."""
     k2 = pl.program_id(1)
 
     @pl.when(k2 == 0)
@@ -69,7 +74,9 @@ def _int4_kernel(xlo_ref, xhi_ref, packed_ref, slo_ref, shi_ref,
             xh[:, rows], wh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc = acc + part_l * slo_ref[g][None, :] + part_h * shi_ref[g][None, :]
+        sl = slo_ref[pl.ds(k2 * n_g + g, 1), :]     # [1, N_blk]
+        sh = shi_ref[pl.ds(k2 * n_g + g, 1), :]
+        acc = acc + part_l * sl + part_h * sh
     acc_ref[...] = acc
 
     @pl.when(k2 == n_k2 - 1)
@@ -89,7 +96,11 @@ def int4_matmul_kernel_applicable(m: int, k: int, n: int, n_g: int) -> bool:
     return (
         g >= 1 and k2 % k2_blk == 0 and n % n_blk == 0
         and k2_blk % g == 0 and (k2 // g) * 2 == n_g
-        and m <= 1024  # VMEM: x blocks + f32 acc stay well under 16 MB
+        # decode matvecs / lockstep batches only: the compute-bound
+        # chunked prefill stays on the XLA half-matmul form (7.3k tok/s
+        # measured — healthy), keeping the unrolled 9-chunk prefill
+        # program free of 2k extra pallas custom-calls
+        and m <= 64
     )
 
 
@@ -116,8 +127,9 @@ def _int4_matmul_2d(x2, packed, scale, out_dtype, interpret=False):
             pl.BlockSpec((m_pad, k2_blk), lambda ni, ki: (0, ki)),
             pl.BlockSpec((m_pad, k2_blk), lambda ni, ki: (0, ki)),
             pl.BlockSpec((k2_blk, n_blk), lambda ni, ki: (ki, ni)),
-            pl.BlockSpec((k2_blk // g, n_blk), lambda ni, ki: (ki, ni)),
-            pl.BlockSpec((k2_blk // g, n_blk), lambda ni, ki: (ki, ni)),
+            # full group axis per program (see kernel docstring)
+            pl.BlockSpec((n2, n_blk), lambda ni, ki: (0, ni)),
+            pl.BlockSpec((n2, n_blk), lambda ni, ki: (0, ni)),
         ],
         out_specs=pl.BlockSpec((m_pad, n_blk), lambda ni, ki: (0, ni)),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
