@@ -222,12 +222,13 @@ def main():
             )
             engine.params["llm"] = quantize(engine.params["llm"])
             if args.scan_decode:
-                # stack on HOST so the device never holds two weight
-                # copies (engine._ensure_scan_params then no-ops)
+                # stack on HOST (engine._ensure_scan_params then no-ops);
+                # int4 keeps dual storage — see stack_llm_layers
                 from vgqa_tpu.qa.llm_functional import stack_llm_layers
 
                 engine.params["llm"] = stack_llm_layers(
-                    engine.params["llm"], args.layers)
+                    engine.params["llm"], args.layers,
+                    keep_layers=(args.wq == "int4"))
         dev = jax.devices()[0]
         engine.params = jax.device_put(engine.params, dev)
     else:

@@ -344,15 +344,23 @@ class QAEngine:
         if "layers" in llm:
             return
         keys = [f"layer_{i}" for i in range(self.llm_cfg.num_layers)]
-        trees = [llm.pop(k) for k in keys]
+        # int4 trees keep DUAL storage (per-layer for the unrolled
+        # prefill, stacked for the decode scan): two packed copies cost
+        # what one int8 copy does, and prefill slicing the stacked tree
+        # re-materializes weight copies on-chip (llm_functional.
+        # stack_llm_layers docstring — the r5 B=1 OOM)
+        keep = "kernel_q4" in llm[keys[0]].get("q_proj", {})
+        trees = ([llm[k] for k in keys] if keep
+                 else [llm.pop(k) for k in keys])
         flats, treedef = zip(*(jax.tree_util.tree_flatten(t)
                                for t in trees))
         flats = [list(f) for f in flats]
         stacked_leaves = []
         for j in range(len(flats[0])):
             stacked_leaves.append(jnp.stack([f[j] for f in flats]))
-            for f in flats:
-                f[j] = None  # drop the per-layer buffer refs as we go
+            if not keep:
+                for f in flats:
+                    f[j] = None  # drop per-layer buffer refs as we go
         llm["layers"] = jax.tree_util.tree_unflatten(
             treedef[0], stacked_leaves)
 

@@ -19,8 +19,8 @@ from .llm import (LLMConfig, apply_rope, dequantize_kv, kv_cache_stacked,
 from .quant import quant_matmul, quant_matmul_int4, quant_matmul_w8a8
 
 
-def stack_llm_layers(params: Dict[str, Any], num_layers: int
-                     ) -> Dict[str, Any]:
+def stack_llm_layers(params: Dict[str, Any], num_layers: int,
+                     keep_layers: bool = False) -> Dict[str, Any]:
     """Per-layer ``layer_i`` entries -> ONE ``layers`` tree with a leading
     [num_layers, ...] axis per leaf (works for bf16 ``kernel``, int8
     ``kernel_q``+``scale`` and int4 ``kernel_q4``+``scale4`` alike).
@@ -34,20 +34,35 @@ def stack_llm_layers(params: Dict[str, Any], num_layers: int
     storage through static slices (:func:`_layer_params`), so ONE device
     copy of the weights serves both prefill and decode. Stack on HOST
     (cpu jax default_device) for big models — a device-side stack
-    transiently doubles weight HBM."""
+    transiently doubles weight HBM.
+
+    ``keep_layers=True`` RETAINS the per-layer entries alongside the
+    stacked tree — dual storage. Measured motivation (r5): at 8B the
+    chunked prefill reading stacked storage through 224 static slices
+    re-materializes weight copies on-chip (the same CSE-liveness trap as
+    the int4 concat form) and the int4+scan bench OOMed at B=1; int4's
+    packed weights are small enough that TWO copies (2 x 3.9 GB) cost
+    what int8's single copy does, so int4 scan mode keeps both and each
+    path reads its natural form (prefill: per-layer; decode scan:
+    stacked)."""
     layer_keys = [f"layer_{i}" for i in range(num_layers)]
     stacked = jax.tree.map(lambda *ls: jnp.stack(ls),
                            *[params[k] for k in layer_keys])
-    out = {k: v for k, v in params.items() if k not in layer_keys}
+    out = {k: v for k, v in params.items()
+           if keep_layers or k not in layer_keys}
     out["layers"] = stacked
     return out
 
 
 def _layer_params(params: Dict[str, Any], i: int) -> Dict[str, Any]:
-    """Layer ``i``'s tree from either storage form (static ``i``)."""
-    if "layers" in params:
-        return jax.tree.map(lambda a: a[i], params["layers"])
-    return params[f"layer_{i}"]
+    """Layer ``i``'s tree from either storage form (static ``i``).
+
+    Prefers the per-layer entry (dual-storage mode keeps it precisely so
+    the unrolled prefill never slices the stacked tree)."""
+    key = f"layer_{i}"
+    if key in params:
+        return params[key]
+    return jax.tree.map(lambda a: a[i], params["layers"])
 
 
 def _dense(x: jnp.ndarray, p: Dict[str, Any], w8a8: bool = False) -> jnp.ndarray:
