@@ -22,6 +22,14 @@ from vgqa_tpu.utils.platform import apply_platform_env
 apply_platform_env()
 
 
+def _as_tiles(tiles):
+    import numpy as np
+
+    from vgqa_tpu.qa import YUVTiles
+
+    return tiles if isinstance(tiles, YUVTiles) else np.asarray(tiles)
+
+
 def run(engine, tiles, n_frames, max_new, label):
     import numpy as np
 
@@ -33,7 +41,7 @@ def run(engine, tiles, n_frames, max_new, label):
                            ignore_eos=True)
     patches = [1] * n_frames
     t0 = time.time()
-    engine.chat(np.asarray(tiles), "what happens in the video?", gen,
+    engine.chat(_as_tiles(tiles), "what happens in the video?", gen,
                 num_patches_list=patches)
     compile_s = time.time() - t0
 
@@ -41,7 +49,7 @@ def run(engine, tiles, n_frames, max_new, label):
     t0 = time.time()
     for i in range(iters):
         out = engine.chat(
-            np.asarray(tiles), f"what happens in the video {i}?", gen,
+            _as_tiles(tiles), f"what happens in the video {i}?", gen,
             num_patches_list=patches,
         )
     dt = (time.time() - t0) / iters
@@ -54,7 +62,7 @@ def run(engine, tiles, n_frames, max_new, label):
     acc = {}
     for i in range(iters):
         _, st = engine.chat(
-            np.asarray(tiles), f"what happens in the video {i}?", gen,
+            _as_tiles(tiles), f"what happens in the video {i}?", gen,
             num_patches_list=patches, return_stats=True,
         )
         for k, v in st.items():
@@ -153,6 +161,11 @@ def main():
                          "the INT8 arm (bf16-cache batch numbers are in "
                          "BASELINE.md; int8 rows halve the KV footprint, "
                          "so batch=8 fits HBM)")
+    ap.add_argument("--yuv-tiles", action="store_true",
+                    help="run the MAIN e2e pass with I420-plane tiles "
+                         "(engine.YUVTiles) — the serving transport "
+                         "(inference.qa gets planes free from the native "
+                         "decoder); default RGB keeps rounds comparable")
     ap.add_argument("--scan-decode", action="store_true",
                     help="layer-scanned decode (VGQA_SCAN_DECODE): one "
                          "lax.scan over host-stacked params + the stacked "
@@ -243,6 +256,15 @@ def main():
     tiles = np.random.RandomState(0).randint(
         0, 256, (args.frames, 448, 448, 3), dtype=np.uint8
     )
+    if args.yuv_tiles:
+        import cv2
+
+        from vgqa_tpu.qa import YUVTiles
+
+        tiles = YUVTiles(np.stack([
+            cv2.cvtColor(t, cv2.COLOR_RGB2YUV_I420).reshape(-1)
+            for t in tiles
+        ]), full_range=True)
 
     if args.ab_yuv_tiles:
         # in-process A/B of the tile upload format: the same source tiles
