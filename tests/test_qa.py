@@ -845,14 +845,14 @@ def test_yuv_tiles_chunked_matches_single_shot(tiny_engine):
         0, 256, (5, s * s * 3 // 2), dtype=np.uint8
     )
     tiles = YUVTiles(planes, full_range=False)
-    old = eng._vision_chunk
+    old = eng._vision_chunk_yuv
     try:
-        eng._vision_chunk = 0
+        eng._vision_chunk_yuv = 0
         one = np.asarray(eng._encode_vision(tiles))
-        eng._vision_chunk = 2
+        eng._vision_chunk_yuv = 2
         chunked = np.asarray(eng._encode_vision(tiles))
     finally:
-        eng._vision_chunk = old
+        eng._vision_chunk_yuv = old
     np.testing.assert_allclose(chunked, one, rtol=1e-6, atol=1e-6)
 
 

@@ -332,6 +332,7 @@ def main():
         patches = [1] * args.frames
         for ck in (0, args.ab_vision_chunks):
             engine._vision_chunk = ck
+            engine._vision_chunk_yuv = ck  # A/B covers both transports
             engine.chat(tiles, "warm", gen, num_patches_list=patches)
             vs = 0.0
             for i in range(4):

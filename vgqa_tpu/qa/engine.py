@@ -175,6 +175,16 @@ class QAEngine:
         # cost one extra ViT compile at startup. Default ON at 8;
         # VGQA_VISION_CHUNKS=0 restores single-shot.
         self._vision_chunk = int(_os.environ.get("VGQA_VISION_CHUNKS", "8"))
+        # I420 batches carry HALF the bytes per chunk, so the interleave
+        # optimum shifts finer: measured r5 at 32 tiles on the YUV path —
+        # ck=4: 0.548 s, ck=8: 0.681, ck=16: 0.670 (BASELINE.md).
+        # VGQA_VISION_CHUNKS_YUV overrides; an explicit
+        # VGQA_VISION_CHUNKS also applies to YUV when the former is unset.
+        _ck_yuv = _os.environ.get(
+            "VGQA_VISION_CHUNKS_YUV",
+            _os.environ.get("VGQA_VISION_CHUNKS", "4"),
+        )
+        self._vision_chunk_yuv = int(_ck_yuv)
 
         # causal GQA flash prefill: native on TPU; interpret mode for CPU
         # parity testing (VGQA_PALLAS_INTERPRET=1); plain XLA otherwise
@@ -850,7 +860,7 @@ class QAEngine:
             planes = tiles.planes
             fr = jnp.asarray(tiles.full_range)
             n = planes.shape[0]
-            ck = self._vision_chunk
+            ck = self._vision_chunk_yuv
             if ck <= 0 or n <= ck:
                 return self._vision_yuv_fn(
                     self.params, jnp.asarray(planes), fr)
