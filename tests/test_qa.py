@@ -975,3 +975,42 @@ def test_stacked_params_prefill_matches_per_layer():
     for (ka, va), (kb, vb) in zip(ca, cb):
         np.testing.assert_array_equal(np.asarray(ka), np.asarray(kb))
         np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
+def test_scan_decode_int4_dual_storage(monkeypatch):
+    """int4 trees under scan mode keep DUAL param storage (per-layer for
+    the unrolled prefill + stacked for the decode scan — the r5 B=1 OOM
+    fix) and must answer identically to the unrolled int4+kv8 path."""
+    from vgqa_tpu.qa.quant import quantize_llm_params_int4
+
+    g = GenerationConfig(max_new_tokens=8, do_sample=False,
+                         ignore_eos=True)
+
+    def build():
+        eng = QAEngine.init_random(LLMConfig.tiny(), ViTConfig.tiny())
+        eng.params["llm"] = quantize_llm_params_int4(
+            eng.params["llm"], group_size=32)
+        return eng
+
+    monkeypatch.setenv("VGQA_KV_INT8", "1")
+    monkeypatch.delenv("VGQA_SCAN_DECODE", raising=False)
+    base = build()
+    s = base.vit_cfg.image_size
+    tiles = np.random.RandomState(9).randint(
+        0, 256, (2, s, s, 3), dtype=np.uint8
+    )
+    a_base = base.chat(tiles, "what?", g, num_patches_list=[1, 1])
+
+    monkeypatch.setenv("VGQA_SCAN_DECODE", "1")
+    scan = build()
+    a_scan = scan.chat(tiles, "what?", g, num_patches_list=[1, 1])
+    assert a_base and a_scan == a_base
+    # dual storage: per-layer entries retained NEXT TO the stacked tree
+    assert "layers" in scan.params["llm"]
+    assert "layer_0" in scan.params["llm"]
+    # batched path over the stacked int8 cache
+    b_base = base.chat_batch([(tiles, "what?", [1, 1]),
+                              (tiles, "and?", [1, 1])], g)
+    b_scan = scan.chat_batch([(tiles, "what?", [1, 1]),
+                              (tiles, "and?", [1, 1])], g)
+    assert b_scan == b_base
