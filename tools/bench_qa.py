@@ -159,8 +159,10 @@ def main():
                          "int8+per-token-scale cache (engine.set_kv_int8). "
                          "Runs e2e both arms; --batch-sweep sizes run on "
                          "the INT8 arm (bf16-cache batch numbers are in "
-                         "BASELINE.md; int8 rows halve the KV footprint, "
-                         "so batch=8 fits HBM)")
+                         "BASELINE.md; int8 rows halve the KV footprint "
+                         "— measured r5: batch=4 unlocked, batch=8 still "
+                         "rejected by the remote compile service unless "
+                         "--scan-decode, then HBM-bound)")
     ap.add_argument("--yuv-tiles", action="store_true",
                     help="run the MAIN e2e pass with I420-plane tiles "
                          "(engine.YUVTiles) — the serving transport "
